@@ -1,0 +1,519 @@
+"""Minimal PDF object model + parser.
+
+The reference delegates PDF object parsing to the public ``lopdf`` crate;
+this module is our from-scratch equivalent covering the subset the engine
+needs: object scanning (xref-free, robust to linearized files), the page
+tree, resources (fonts / XObjects), stream decompression (FlateDecode),
+and content-stream operation decoding.
+
+Design note: we scan for ``N G obj … endobj`` spans instead of trusting the
+xref table — the same robustness trick the reference applies for CMaps
+(src/tounicode.rs:413-466), generalized to every object. This makes the
+parser tolerant of truncated xrefs, appended increments and linearization.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any
+
+
+class Name(str):
+    """A PDF name (/Foo). Subclass of str for ergonomic comparisons."""
+    __slots__ = ()
+
+
+class Ref:
+    """An indirect object reference ``num gen R``."""
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int = 0) -> None:
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Ref) and other.num == self.num and other.gen == self.gen
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class Stream:
+    """A PDF stream: dictionary + raw payload."""
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+    def decompressed(self) -> bytes:
+        filt = self.dict.get("Filter")
+        names: list[str] = []
+        if isinstance(filt, Name):
+            names = [str(filt)]
+        elif isinstance(filt, list):
+            names = [str(f) for f in filt if isinstance(f, Name)]
+        data = self.raw
+        for f in names:
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    pass  # tolerate broken filters; return best effort
+            # Other filters (DCTDecode etc.) are opaque payloads — pass through.
+        return data
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer/parser for PDF object syntax."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, self.n
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                j = data.find(b"\n", self.pos)
+                self.pos = n if j == -1 else j + 1
+            else:
+                return
+
+    def parse_object(self) -> Any:
+        """Parse one object at the current position."""
+        self._skip_ws()
+        if self.pos >= self.n:
+            raise ValueError("EOF")
+        data = self.data
+        c = data[self.pos]
+
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x3C:  # '<'
+            if data[self.pos + 1:self.pos + 2] == b"<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if c == 0x5B:  # '['
+            self.pos += 1
+            arr: list[Any] = []
+            while True:
+                self._skip_ws()
+                if self.pos >= self.n:
+                    break
+                if data[self.pos] == 0x5D:  # ']'
+                    self.pos += 1
+                    break
+                arr.append(self.parse_object())
+            return arr
+        # keywords / numbers / refs
+        m = re.compile(rb"[^\s()<>\[\]{}/%]+").match(data, self.pos)
+        if not m:
+            raise ValueError(f"bad token at {self.pos}")
+        tok = m.group(0)
+        self.pos = m.end()
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number — possibly the start of "num gen R"
+        try:
+            if b"." in tok:
+                return float(tok.decode("ascii"))
+            num = int(tok)
+        except (ValueError, UnicodeDecodeError):
+            return Name(tok.decode("latin-1"))
+        # lookahead for reference
+        save = self.pos
+        self._skip_ws()
+        m2 = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])").match(data, self.pos)
+        if m2 is not None:
+            self.pos = m2.end()
+            return Ref(num, int(m2.group(1)))
+        self.pos = save
+        return num
+
+    def _parse_name(self) -> Name:
+        self.pos += 1  # '/'
+        data = self.data
+        out = bytearray()
+        while self.pos < self.n:
+            c = data[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < self.n:  # '#xx' escape
+                try:
+                    out.append(int(data[self.pos + 1:self.pos + 3], 16))
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            self.pos += 1
+        return Name(bytes(out).decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        data = self.data
+        self.pos += 1  # '('
+        out = bytearray()
+        depth = 1
+        while self.pos < self.n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= self.n:
+                    break
+                e = data[self.pos]
+                if e == ord("n"):
+                    out.append(0x0A)
+                elif e == ord("r"):
+                    out.append(0x0D)
+                elif e == ord("t"):
+                    out.append(0x09)
+                elif e == ord("b"):
+                    out.append(0x08)
+                elif e == ord("f"):
+                    out.append(0x0C)
+                elif e in (0x28, 0x29, 0x5C):
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = bytearray([e])
+                    for _ in range(2):
+                        nxt = data[self.pos + 1:self.pos + 2]
+                        if nxt and 0x30 <= nxt[0] <= 0x37:
+                            self.pos += 1
+                            oct_digits.append(nxt[0])
+                        else:
+                            break
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    if e == 0x0D and data[self.pos + 1:self.pos + 2] == b"\n":
+                        self.pos += 1
+                else:
+                    out.append(e)
+                self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    break
+                out.append(c)
+                self.pos += 1
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1  # '<'
+        j = self.data.find(b">", self.pos)
+        if j == -1:
+            j = self.n
+        hx = re.sub(rb"\s", b"", self.data[self.pos:j])
+        self.pos = min(j + 1, self.n)
+        if len(hx) % 2 == 1:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return b""
+
+    def _parse_dict_or_stream(self) -> Any:
+        data = self.data
+        self.pos += 2  # '<<'
+        d: dict[str, Any] = {}
+        while True:
+            self._skip_ws()
+            if self.pos >= self.n:
+                break
+            if data[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if data[self.pos] != 0x2F:
+                # tolerate garbage: skip a byte
+                self.pos += 1
+                continue
+            key = self._parse_name()
+            d[str(key)] = self.parse_object()
+        # stream?
+        save = self.pos
+        self._skip_ws()
+        if data[self.pos:self.pos + 6] == b"stream":
+            self.pos += 6
+            if data[self.pos:self.pos + 1] == b"\r":
+                self.pos += 1
+            if data[self.pos:self.pos + 1] == b"\n":
+                self.pos += 1
+            start = self.pos
+            end = data.find(b"endstream", start)
+            if end == -1:
+                end = self.n
+            raw_end = end
+            if raw_end > start and data[raw_end - 1:raw_end] == b"\n":
+                raw_end -= 1
+            if raw_end > start and data[raw_end - 1:raw_end] == b"\r":
+                raw_end -= 1
+            self.pos = min(end + len(b"endstream"), self.n)
+            return Stream(d, data[start:raw_end])
+        self.pos = save
+        return d
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer")
+
+
+class Document:
+    """A parsed PDF document (objects + trailer + page tree)."""
+
+    def __init__(self) -> None:
+        self.objects: dict[int, Any] = {}
+        self.trailer: dict[str, Any] = {}
+
+    # -- loading ---------------------------------------------------------
+
+    @classmethod
+    def load_mem(cls, buf: bytes) -> "Document":
+        if not buf.lstrip()[:5].startswith(b"%PDF-"):
+            raise ValueError("not a PDF: missing %PDF header")
+        doc = cls()
+        for m in _OBJ_RE.finditer(buf):
+            num = int(m.group(1))
+            lex = _Lexer(buf, m.end())
+            try:
+                obj = lex.parse_object()
+            except (ValueError, IndexError, RecursionError):
+                continue
+            # Later definitions win (incremental updates append).
+            doc.objects[num] = obj
+        # trailer dict(s) — last wins
+        for m in _TRAILER_RE.finditer(buf):
+            lex = _Lexer(buf, m.end())
+            try:
+                t = lex.parse_object()
+            except (ValueError, IndexError, RecursionError):
+                continue
+            if isinstance(t, dict):
+                doc.trailer.update(t)
+        if "Root" not in doc.trailer:
+            # xref-stream PDFs: find a catalog object
+            for num, obj in doc.objects.items():
+                d = obj.dict if isinstance(obj, Stream) else obj
+                if isinstance(d, dict) and d.get("Type") == "Catalog":
+                    doc.trailer["Root"] = Ref(num)
+                    break
+        if not doc.objects:
+            raise ValueError("no PDF objects found")
+        if doc.trailer.get("Encrypt") is not None:
+            raise ValueError("PDF is encrypted")
+        return doc
+
+    # -- resolution ------------------------------------------------------
+
+    def resolve(self, obj: Any, depth: int = 0) -> Any:
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.objects.get(obj.num)
+            depth += 1
+        return obj
+
+    def get_dict(self, obj: Any) -> dict | None:
+        r = self.resolve(obj)
+        if isinstance(r, Stream):
+            return r.dict
+        return r if isinstance(r, dict) else None
+
+    def get_array(self, obj: Any) -> list | None:
+        r = self.resolve(obj)
+        return r if isinstance(r, list) else None
+
+    # -- page tree -------------------------------------------------------
+
+    def get_pages(self) -> dict[int, int]:
+        """1-indexed page number → object number, in tree order."""
+        pages: dict[int, int] = {}
+        root = self.get_dict(self.trailer.get("Root"))
+        if not root:
+            return pages
+        pages_ref = root.get("Pages")
+        order: list[int] = []
+        seen: set[int] = set()
+
+        def walk(ref: Any) -> None:
+            if isinstance(ref, Ref):
+                if ref.num in seen:
+                    return
+                seen.add(ref.num)
+                num = ref.num
+            else:
+                num = -1
+            node = self.get_dict(ref)
+            if not node:
+                return
+            t = node.get("Type")
+            if t == "Page":
+                order.append(num)
+            elif t == "Pages" or "Kids" in node:
+                kids = self.get_array(node.get("Kids")) or []
+                for kid in kids:
+                    walk(kid)
+
+        walk(pages_ref)
+        for i, num in enumerate(order, start=1):
+            pages[i] = num
+        return pages
+
+    def page_count(self) -> int:
+        root = self.get_dict(self.trailer.get("Root"))
+        if root:
+            pages_node = self.get_dict(root.get("Pages"))
+            if pages_node and isinstance(pages_node.get("Count"), int):
+                return pages_node["Count"]
+        return len(self.get_pages())
+
+    # -- page content ----------------------------------------------------
+
+    def get_page_content_streams(self, page_obj_num: int) -> list[Stream]:
+        page = self.get_dict(Ref(page_obj_num))
+        if not page:
+            return []
+        contents = page.get("Contents")
+        out: list[Stream] = []
+        resolved = self.resolve(contents)
+        if isinstance(resolved, Stream):
+            out.append(resolved)
+        elif isinstance(resolved, list):
+            for c in resolved:
+                s = self.resolve(c)
+                if isinstance(s, Stream):
+                    out.append(s)
+        return out
+
+    def get_page_content(self, page_obj_num: int) -> bytes:
+        return b"\n".join(s.decompressed() for s in self.get_page_content_streams(page_obj_num))
+
+    def get_page_resources(self, page_obj_num: int) -> dict | None:
+        page = self.get_dict(Ref(page_obj_num))
+        if not page:
+            return None
+        res = page.get("Resources")
+        if res is None:
+            # inheritable attribute: walk Parent chain
+            node = page
+            depth = 0
+            while node is not None and depth < 32:
+                parent = node.get("Parent")
+                if parent is None:
+                    break
+                node = self.get_dict(parent)
+                if node and node.get("Resources") is not None:
+                    res = node["Resources"]
+                    break
+                depth += 1
+        return self.get_dict(res)
+
+    def get_page_fonts(self, page_obj_num: int) -> dict[str, dict]:
+        """Font resource name → font dictionary."""
+        res = self.get_page_resources(page_obj_num)
+        if not res:
+            return {}
+        fdict = self.get_dict(res.get("Font"))
+        if not fdict:
+            return {}
+        fonts: dict[str, dict] = {}
+        for name, ref in fdict.items():
+            d = self.get_dict(ref)
+            if d is not None:
+                fonts[str(name)] = d
+        return fonts
+
+    def font_ref_num(self, page_obj_num: int, resource_name: str) -> int | None:
+        """Object number of a font resource (for ToUnicode ref tracking)."""
+        res = self.get_page_resources(page_obj_num)
+        if not res:
+            return None
+        fdict = self.get_dict(res.get("Font"))
+        if not fdict:
+            return None
+        ref = fdict.get(resource_name)
+        return ref.num if isinstance(ref, Ref) else None
+
+
+# -- content-stream operation decoding ------------------------------------
+
+class Operation:
+    __slots__ = ("operator", "operands")
+
+    def __init__(self, operator: str, operands: list[Any]) -> None:
+        self.operator = operator
+        self.operands = operands
+
+    def __repr__(self) -> str:
+        return f"Op({self.operator} {self.operands})"
+
+
+_OPERATOR_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+
+
+def decode_content(data: bytes) -> list[Operation]:
+    """Decode a content stream into a list of operations."""
+    ops: list[Operation] = []
+    operands: list[Any] = []
+    lex = _Lexer(data)
+    n = lex.n
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos]
+        if c in b"/(<[":
+            try:
+                operands.append(lex.parse_object())
+            except (ValueError, IndexError):
+                lex.pos += 1
+            continue
+        m = _OPERATOR_RE.match(data, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        tok = m.group(0)
+        lex.pos = m.end()
+        # number?
+        try:
+            if b"." in tok:
+                operands.append(float(tok.decode("ascii")))
+                continue
+            if tok.lstrip(b"+-").isdigit():
+                operands.append(int(tok))
+                continue
+        except (ValueError, UnicodeDecodeError):
+            pass
+        op = tok.decode("latin-1")
+        if op == "BI":
+            # inline image: skip to EI
+            j = data.find(b"EI", lex.pos)
+            lex.pos = n if j == -1 else j + 2
+            operands = []
+            continue
+        ops.append(Operation(op, operands))
+        operands = []
+    return ops

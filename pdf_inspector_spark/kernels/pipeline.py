@@ -1,0 +1,120 @@
+"""Top-level per-document pipeline: detect → route → extract → structure.
+
+Behavioral parity with the reference orchestration (reference:
+src/lib.rs:42-133). Errors never raise past this layer — they become
+error fields on the result row so the Spark pipeline can route failed
+rows to a quarantine sink (src/lib.rs:135-145 → error-as-row contract).
+"""
+
+from __future__ import annotations
+
+import time
+
+from .detector import (DetectionConfig, PDF_TYPE_IMAGE, PDF_TYPE_MIXED,
+                       PDF_TYPE_SCANNED, PDF_TYPE_TEXT, detect_pdf_type_mem)
+from .extractor import (ITEM_TEXT, TextItem, extract_text_with_positions_mem,
+                        group_into_lines)
+from .markdown import MarkdownOptions, to_markdown_from_items
+
+
+def classify_mem(buf: bytes, config: DetectionConfig = DetectionConfig()) -> dict:
+    """Classification stage with error-as-row semantics."""
+    try:
+        result = detect_pdf_type_mem(buf, config)
+        result["error_kind"] = None
+        result["error_msg"] = None
+        return result
+    except Exception as exc:  # noqa: BLE001 — quarantine channel, never raise
+        return {
+            "pdf_type": None, "page_count": 0, "pages_sampled": 0,
+            "pages_with_text": 0, "confidence": 0.0, "title": None,
+            "ocr_recommended": False,
+            "error_kind": type(exc).__name__, "error_msg": str(exc)[:500],
+        }
+
+
+def items_to_text_and_spans(items: list[TextItem]) -> tuple[str, list[dict]]:
+    """Reading-order line texts joined with ``\\n`` + span offsets.
+
+    The per-turn ``text`` is the byte-equality contract target (reference
+    entry point 3: src/extractor.rs:854-861 + group_into_lines :2223).
+    """
+    lines = group_into_lines([i for i in items if i.item_type == ITEM_TEXT])
+    parts: list[str] = []
+    spans: list[dict] = []
+    offset = 0
+    for line in lines:
+        t = line.text()
+        if parts:
+            offset += 1  # the joining "\n"
+        start = offset
+        offset += len(t)
+        parts.append(t)
+        first = line.items[0] if line.items else None
+        spans.append({
+            "start": start, "end": offset, "page": line.page,
+            "x": first.x if first else 0.0,
+            "y": line.y,
+            "font_size": first.font_size if first else 0.0,
+        })
+    return "\n".join(parts), spans
+
+
+def extract_turn_text(buf: bytes) -> dict:
+    """Extraction stage: positioned items → text + spans, error-as-row."""
+    try:
+        items = extract_text_with_positions_mem(buf)
+    except Exception as exc:  # noqa: BLE001
+        return {"text": None, "spans": [], "n_items": 0,
+                "error_kind": type(exc).__name__, "error_msg": str(exc)[:500]}
+    text, spans = items_to_text_and_spans(items)
+    return {"text": text, "spans": spans, "n_items": len(items),
+            "error_kind": None, "error_msg": None}
+
+
+def process_pdf_mem(buf: bytes,
+                    config: DetectionConfig = DetectionConfig(),
+                    options: MarkdownOptions | None = None) -> dict:
+    """Full pipeline (src/lib.rs:91-133): detect → route by type →
+    extract+markdown (TextBased), early-exit (Scanned/ImageBased), or
+    best-effort extract (Mixed, failures tolerated)."""
+    start = time.monotonic()
+    detection = classify_mem(buf, config)
+    pdf_type = detection["pdf_type"]
+    text = None
+    spans: list[dict] = []
+    markdown = None
+    error_kind = detection["error_kind"]
+    error_msg = detection["error_msg"]
+
+    if pdf_type in (PDF_TYPE_TEXT, PDF_TYPE_MIXED):
+        try:
+            items = extract_text_with_positions_mem(buf)
+        except Exception as exc:  # noqa: BLE001
+            items = None
+            if pdf_type == PDF_TYPE_TEXT:
+                # Mixed tolerates extraction failure (src/lib.rs:72-84);
+                # TextBased reports it.
+                error_kind, error_msg = type(exc).__name__, str(exc)[:500]
+        if items is not None:
+            text, spans = items_to_text_and_spans(items)
+            try:
+                markdown = to_markdown_from_items(items, options)
+            except Exception as exc:  # noqa: BLE001
+                if pdf_type == PDF_TYPE_TEXT:
+                    error_kind, error_msg = type(exc).__name__, str(exc)[:500]
+    # Scanned/ImageBased: early exit — flagged for OCR (src/lib.rs:62-71)
+
+    return {
+        "pdf_type": pdf_type,
+        "page_count": detection["page_count"],
+        "confidence": detection["confidence"],
+        "ocr_recommended": detection["ocr_recommended"],
+        "title": detection["title"],
+        "text": text,
+        "spans": spans,
+        "markdown": markdown,
+        "error_kind": error_kind,
+        "error_msg": error_msg,
+        "processing_time_ms": int((time.monotonic() - start) * 1000),
+    }

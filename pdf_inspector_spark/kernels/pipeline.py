@@ -74,22 +74,46 @@ def extract_turn_text(buf: bytes) -> dict:
 
 def process_pdf_mem(buf: bytes,
                     config: DetectionConfig = DetectionConfig(),
-                    options: MarkdownOptions | None = None) -> dict:
+                    options: MarkdownOptions | None = None,
+                    with_markdown: bool = True) -> dict:
     """Full pipeline (src/lib.rs:91-133): detect → route by type →
     extract+markdown (TextBased), early-exit (Scanned/ImageBased), or
-    best-effort extract (Mixed, failures tolerated)."""
+    best-effort extract (Mixed, failures tolerated).
+
+    The document is parsed ONCE and shared between the detect and extract
+    stages (the reference re-loads per stage, src/lib.rs:46+51; at
+    100 TB the duplicate parse dominates, so we hoist it)."""
+    from .detector import detect_from_document
+    from .extractor import extract_positioned_text_from_doc
+    from .pdfobj import Document
+    from .tounicode import FontCMaps
+
     start = time.monotonic()
-    detection = classify_mem(buf, config)
-    pdf_type = detection["pdf_type"]
     text = None
     spans: list[dict] = []
     markdown = None
+
+    try:
+        doc = Document.load_mem(buf)
+        detection = detect_from_document(doc, doc.page_count(), config)
+        detection["error_kind"] = None
+        detection["error_msg"] = None
+    except Exception as exc:  # noqa: BLE001
+        doc = None
+        detection = {
+            "pdf_type": None, "page_count": 0, "pages_sampled": 0,
+            "pages_with_text": 0, "confidence": 0.0, "title": None,
+            "ocr_recommended": False,
+            "error_kind": type(exc).__name__, "error_msg": str(exc)[:500],
+        }
+    pdf_type = detection["pdf_type"]
     error_kind = detection["error_kind"]
     error_msg = detection["error_msg"]
 
-    if pdf_type in (PDF_TYPE_TEXT, PDF_TYPE_MIXED):
+    if doc is not None and pdf_type in (PDF_TYPE_TEXT, PDF_TYPE_MIXED):
         try:
-            items = extract_text_with_positions_mem(buf)
+            font_cmaps = FontCMaps.from_pdf_bytes(buf)
+            items = extract_positioned_text_from_doc(doc, font_cmaps)
         except Exception as exc:  # noqa: BLE001
             items = None
             if pdf_type == PDF_TYPE_TEXT:
@@ -98,11 +122,12 @@ def process_pdf_mem(buf: bytes,
                 error_kind, error_msg = type(exc).__name__, str(exc)[:500]
         if items is not None:
             text, spans = items_to_text_and_spans(items)
-            try:
-                markdown = to_markdown_from_items(items, options)
-            except Exception as exc:  # noqa: BLE001
-                if pdf_type == PDF_TYPE_TEXT:
-                    error_kind, error_msg = type(exc).__name__, str(exc)[:500]
+            if with_markdown:
+                try:
+                    markdown = to_markdown_from_items(items, options)
+                except Exception as exc:  # noqa: BLE001
+                    if pdf_type == PDF_TYPE_TEXT:
+                        error_kind, error_msg = type(exc).__name__, str(exc)[:500]
     # Scanned/ImageBased: early exit — flagged for OCR (src/lib.rs:62-71)
 
     return {

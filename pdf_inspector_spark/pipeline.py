@@ -1,0 +1,307 @@
+"""The Spark pipeline DAG: scan → classify → route → (salted) extract →
+structure → window-ordered output + quarantine.
+
+Physical plan (SURVEY.md §4):
+
+    ParquetScan(transcripts, project: conv_id,turn_idx,text,…)
+      → ArrowEvalPython[classify_udf]           (no shuffle)
+      → Filter[route on cls.pdf_type]           (scanned rows exit early)
+      → Repartition[hash(conv_id, salt)]        (explicit skew salting —
+                                                 mega conversations spread
+                                                 across executors BEFORE the
+                                                 expensive extract UDF)
+      → ArrowEvalPython[extract_udf(+markdown)] (payload consumed here;
+                                                 dropped before any further
+                                                 shuffle — only derived
+                                                 columns move afterwards)
+      → union(early-exit rows) → Window[conv_id/turn_idx] ordering
+
+All per-document logic lives in the kernels; this module is pure
+DataFrame orchestration, so Catalyst handles pushdown/pruning for
+everything outside the UDF boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+# --------------------------------------------------------------------------
+# Result schemas (SURVEY.md §1.1 Spark mapping)
+# --------------------------------------------------------------------------
+
+CLS_SCHEMA = T.StructType([
+    T.StructField("pdf_type", T.StringType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("pages_sampled", T.IntegerType()),
+    T.StructField("pages_with_text", T.IntegerType()),
+    T.StructField("confidence", T.FloatType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("ocr_recommended", T.BooleanType()),
+    T.StructField("error_kind", T.StringType()),
+    T.StructField("error_msg", T.StringType()),
+])
+
+SPAN_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("x", T.FloatType()),
+    T.StructField("y", T.FloatType()),
+    T.StructField("font_size", T.FloatType()),
+]))
+
+EXT_SCHEMA = T.StructType([
+    T.StructField("text_out", T.StringType()),
+    T.StructField("spans", SPAN_SCHEMA),
+    T.StructField("n_items", T.IntegerType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("error_kind", T.StringType()),
+    T.StructField("error_msg", T.StringType()),
+])
+
+PROC_SCHEMA = T.StructType([
+    T.StructField("pdf_type", T.StringType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("confidence", T.FloatType()),
+    T.StructField("ocr_recommended", T.BooleanType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text_out", T.StringType()),
+    T.StructField("spans", SPAN_SCHEMA),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("error_kind", T.StringType()),
+    T.StructField("error_msg", T.StringType()),
+    T.StructField("processing_time_ms", T.LongType()),
+])
+
+
+# --------------------------------------------------------------------------
+# Vectorized UDF stages (Arrow-batched; kernels imported on the executor)
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(CLS_SCHEMA)
+def classify_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Classification stage (SURVEY.md §2.2). Iterator form so the kernel
+    import happens once per executor-python worker, not once per batch."""
+    from .kernels.pipeline import classify_mem
+    cols = ["pdf_type", "page_count", "pages_sampled", "pages_with_text",
+            "confidence", "title", "ocr_recommended", "error_kind", "error_msg"]
+    for batch in payloads:
+        rows = []
+        for payload in batch:
+            if payload is None:
+                rows.append({c: None for c in cols} | {
+                    "page_count": 0, "pages_sampled": 0, "pages_with_text": 0,
+                    "confidence": 0.0, "ocr_recommended": False,
+                    "error_kind": "NullPayload", "error_msg": "text is null"})
+                continue
+            r = classify_mem(payload.encode("latin-1"))
+            rows.append({c: r[c] for c in cols})
+        yield pd.DataFrame(rows, columns=cols)
+
+
+# Barrier against duplicate evaluation (see _make_process_udf below).
+classify_udf = classify_udf.asNondeterministic()
+
+
+def _extract_batch(batch: pd.Series, with_markdown: bool) -> pd.DataFrame:
+    from .kernels.extractor import extract_text_with_positions_mem
+    from .kernels.markdown import to_markdown_from_items
+    from .kernels.pipeline import items_to_text_and_spans
+    rows = []
+    for payload in batch:
+        if payload is None:
+            rows.append({"text_out": None, "spans": [], "n_items": 0,
+                         "markdown": None, "error_kind": "NullPayload",
+                         "error_msg": "text is null"})
+            continue
+        try:
+            items = extract_text_with_positions_mem(payload.encode("latin-1"))
+            text, spans = items_to_text_and_spans(items)
+            md = to_markdown_from_items(items) if with_markdown else None
+            rows.append({"text_out": text, "spans": spans,
+                         "n_items": len(items), "markdown": md,
+                         "error_kind": None, "error_msg": None})
+        except Exception as exc:  # noqa: BLE001 — quarantine, never raise
+            rows.append({"text_out": None, "spans": [], "n_items": 0,
+                         "markdown": None, "error_kind": type(exc).__name__,
+                         "error_msg": str(exc)[:500]})
+    return pd.DataFrame(rows, columns=["text_out", "spans", "n_items",
+                                       "markdown", "error_kind", "error_msg"])
+
+
+@F.pandas_udf(EXT_SCHEMA)
+def extract_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Extraction stage without the structure pass (SURVEY.md §2.3-2.5)."""
+    for batch in payloads:
+        yield _extract_batch(batch, with_markdown=False)
+
+
+@F.pandas_udf(EXT_SCHEMA)
+def extract_structure_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Extraction + markdown structuring in one pass over the payload
+    (§2.3-2.7); one parse feeds both outputs."""
+    for batch in payloads:
+        yield _extract_batch(batch, with_markdown=True)
+
+
+def _make_process_udf(with_markdown: bool):
+    cols = ["pdf_type", "page_count", "confidence", "ocr_recommended",
+            "title", "text_out", "spans", "markdown", "error_kind",
+            "error_msg", "processing_time_ms"]
+
+    @F.pandas_udf(PROC_SCHEMA)
+    def process_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from .kernels.pipeline import process_pdf_mem
+        for batch in payloads:
+            rows = []
+            for payload in batch:
+                if payload is None:
+                    rows.append({c: None for c in cols} | {
+                        "page_count": 0, "confidence": 0.0,
+                        "ocr_recommended": False, "spans": [],
+                        "error_kind": "NullPayload",
+                        "error_msg": "text is null",
+                        "processing_time_ms": 0})
+                    continue
+                r = process_pdf_mem(payload.encode("latin-1"),
+                                    with_markdown=with_markdown)
+                r["text_out"] = r.pop("text")
+                rows.append({c: r[c] for c in cols})
+            yield pd.DataFrame(rows, columns=cols)
+
+    # Nondeterministic marking is a Catalyst barrier: it stops the
+    # optimizer from duplicating this expensive UDF into both sides of a
+    # filter+project split (the output IS deterministic; only duplicate
+    # evaluation is being suppressed).
+    return process_udf.asNondeterministic()
+
+
+process_structure_udf = _make_process_udf(with_markdown=True)
+process_text_udf = _make_process_udf(with_markdown=False)
+
+
+# --------------------------------------------------------------------------
+# DataFrame stages
+# --------------------------------------------------------------------------
+
+ROUTABLE_TYPES = ("text_based", "mixed")
+
+
+def with_classification(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """classify stage: cheap per-row struct column, no shuffle."""
+    return df.withColumn("cls", classify_udf(F.col(payload_col)))
+
+
+def salt_column(num_buckets: int, cols: tuple[str, str] = ("conv_id", "turn_idx")):
+    """Explicit skew salt: pmod(xxhash64(conv_id, turn_idx), K). Salting on
+    the *turn* key (not just conv_id) spreads mega conversations across
+    executors for the per-row extract stage (SURVEY.md §4 skew row)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_buckets))
+
+
+def run_pipeline(df: DataFrame, *, with_markdown: bool = True,
+                 salt_buckets: int | None = None,
+                 payload_col: str = "text") -> DataFrame:
+    """Full pipeline, fused single-pass plan:
+
+        Scan → [Repartition(salt)] → ArrowEvalPython(process_udf) → Project
+
+    The classify→route→extract decision tree runs INSIDE the kernel
+    (one parse per document, src/lib.rs routing semantics); scanned
+    rows early-exit within the same batch. This beats the two-branch
+    filter+union plan, where Catalyst evaluated the classify UDF up to
+    4× per row (once per filter, once per project, per union branch).
+
+    The payload column is dropped in the Project directly above the UDF:
+    only derived columns participate in any downstream shuffle
+    (SURVEY.md §7 "large payload shuffles").
+
+    Ordering contract: downstream consumers read under
+    Window.partitionBy(conv_id).orderBy(turn_idx) — see ``with_turn_order``.
+    """
+    if salt_buckets:
+        # Explicit skew handling: spread mega-conversations before the
+        # expensive per-row stage. Salting by (conv_id, turn_idx) is safe
+        # because the stage is per-row; ordering is restored by the
+        # window contract downstream.
+        df = df.repartition(salt_buckets, salt_column(salt_buckets))
+
+    udf = process_structure_udf if with_markdown else process_text_udf
+    proc = df.withColumn("proc", udf(F.col(payload_col)))
+    out_cols = [c for c in df.columns if c != payload_col]
+    return proc.select(
+        *out_cols,
+        F.col("proc.pdf_type").alias("pdf_type"),
+        F.col("proc.page_count").alias("page_count"),
+        F.col("proc.confidence").alias("confidence"),
+        F.col("proc.ocr_recommended").alias("ocr_recommended"),
+        F.col("proc.title").alias("title"),
+        F.col("proc.text_out").alias("text_out"),
+        F.col("proc.spans").alias("spans"),
+        F.col("proc.markdown").alias("markdown"),
+        F.col("proc.error_kind").alias("error_kind"),
+        F.col("proc.error_msg").alias("error_msg"),
+        F.col("proc.processing_time_ms").alias("processing_time_ms"),
+    )
+
+
+def run_pipeline_staged(df: DataFrame, *, with_markdown: bool = True,
+                        salt_buckets: int | None = None,
+                        payload_col: str = "text") -> DataFrame:
+    """Two-stage routed plan (classify stage → filter → extract stage).
+
+    Kept for workloads that want the classification stage alone (cheap
+    selectivity stats / OCR routing without extraction) — e.g.
+    ``with_classification(df)``. For full extraction prefer
+    ``run_pipeline``: this plan re-evaluates the classify UDF on both
+    union branches.
+    """
+    classified = with_classification(df, payload_col)
+    routable = classified.where(F.col("cls.pdf_type").isin(*ROUTABLE_TYPES))
+    early_exit = classified.where(
+        ~F.col("cls.pdf_type").isin(*ROUTABLE_TYPES)
+        | F.col("cls.pdf_type").isNull())
+
+    if salt_buckets:
+        routable = routable.repartition(salt_buckets,
+                                        salt_column(salt_buckets))
+
+    udf = extract_structure_udf if with_markdown else extract_udf
+    extracted = routable.withColumn("ext", udf(F.col(payload_col)))
+    early_exit = early_exit.withColumn("ext", F.lit(None).cast(EXT_SCHEMA))
+
+    out_cols = [c for c in df.columns if c != payload_col]
+    projection = [*out_cols,
+                  F.col("cls.pdf_type").alias("pdf_type"),
+                  F.col("cls.page_count").alias("page_count"),
+                  F.col("cls.confidence").alias("confidence"),
+                  F.col("cls.ocr_recommended").alias("ocr_recommended"),
+                  F.col("cls.title").alias("title"),
+                  F.col("ext.text_out").alias("text_out"),
+                  F.col("ext.spans").alias("spans"),
+                  F.col("ext.markdown").alias("markdown"),
+                  F.coalesce(F.col("cls.error_kind"),
+                             F.col("ext.error_kind")).alias("error_kind"),
+                  F.coalesce(F.col("cls.error_msg"),
+                             F.col("ext.error_msg")).alias("error_msg")]
+    return extracted.select(*projection).unionByName(
+        early_exit.select(*projection))
+
+
+def with_turn_order(result: DataFrame) -> DataFrame:
+    """Stable turn ordering contract (north rule): row_number over
+    Window.partitionBy(conv_id).orderBy(turn_idx)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return result.withColumn("turn_rank", F.row_number().over(w))
+
+
+def split_quarantine(result: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) — failed rows route to a quarantine sink instead
+    of failing the job (error-channel contract, src/lib.rs:135-145)."""
+    return (result.where(F.col("error_kind").isNull()),
+            result.where(F.col("error_kind").isNotNull()))

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the pipeline's shape: Arrow-batched pandas UDF stages over
+string payload columns. On a real cluster the same config applies per
+executor; locally we run ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_rows: int = 256,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Create (or get) a SparkSession.
+
+    - AQE on: runtime coalescing + skew-join splitting.
+    - Arrow enabled with a modest maxRecordsPerBatch: payload rows are
+      KB–MB scale, so small batches bound executor-python memory
+      (SURVEY.md §4 "vectorized execution" row).
+    - shuffle.partitions ≈ 2×cores locally; on a cluster, size to
+      target ~128MB-of-derived-columns per task, not payload bytes.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,183 @@
+"""Deterministic synthetic transcripts tables (FIXTURES.md §1).
+
+Schema (BASELINE.json input_hint):
+
+    transcripts(conv_id string, turn_idx int32, role string,
+                text string, tool string, ts timestamp)
+
+``text`` carries one synthetic PDF from the corpus as a latin-1-safe
+string (bytes 0x00–0xFF map 1:1). Payload assignment, roles, timestamps
+and the skew profile are all pure functions of (conv_id, turn_idx) — no
+RNG state — so the table and its expected outputs are reproducible
+anywhere, including inside Spark executors.
+
+Skew recipe (§1.1): the first 1% of conversations are "mega" and own
+~30% of all turns, so a naive repartition(conv_id) yields stragglers and
+the salted plan measurably wins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .corpus import corpus_payloads
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_DIR = os.path.join(REPO_ROOT, "data")
+
+BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+# scale name -> (n_convs, mega_turns, normal_turns_mod)
+SCALES = {
+    "t-small": (20, 30, 7),
+    "t-med": (500, 600, 27),
+    "t-bench": (5000, 1200, 57),
+}
+
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = ("pdf_reader", "search", "calculator", "browser")
+
+# 100-slot weighted payload pool: ~13% scanned/image-ish + mixed payloads
+# (routing selectivity), 2% malformed (quarantine channel), rest text-based.
+_TEXT_IDS = [
+    "tj_basic", "tj_multiline", "tm_positioned", "tj_kerning",
+    "cid_tounicode", "cid_1byte_cmap", "differences_enc", "ligatures",
+    "utf16_fallback", "form_xobject", "mixed_pages", "multipage_7",
+    "two_column", "table_small_font", "table_body_font", "para_not_table",
+    "lists_code", "links_annots", "page_numbers", "cjk_text",
+]
+
+
+def _payload_pool() -> list[str]:
+    pool: list[str] = []
+    pool += ["malformed"] * 2
+    pool += ["scanned_only"] * 8
+    pool += ["template_mixed"] * 5
+    i = 0
+    while len(pool) < 100:
+        pool.append(_TEXT_IDS[i % len(_TEXT_IDS)])
+        i += 1
+    assert len(pool) == 100
+    return pool
+
+
+_POOL = _payload_pool()
+
+
+def _h(conv_id: str, turn_idx: int) -> int:
+    """Stable 64-bit hash of (conv_id, turn_idx)."""
+    d = hashlib.md5(f"{conv_id}:{turn_idx}".encode()).digest()
+    return int.from_bytes(d[:8], "big")
+
+
+def conv_ids(scale: str) -> list[str]:
+    n_convs, _, _ = SCALES[scale]
+    return [f"conv-{i:06d}" for i in range(n_convs)]
+
+
+def turns_for_conv(scale: str, conv_index: int) -> int:
+    n_convs, mega_turns, normal_mod = SCALES[scale]
+    n_mega = max(n_convs // 100, 1)
+    if conv_index < n_mega:
+        return mega_turns
+    return 1 + _h(f"conv-{conv_index:06d}", -1) % normal_mod
+
+
+def assign_doc_id(conv_id: str, turn_idx: int) -> str:
+    """Which corpus payload a turn carries — pure function of the key."""
+    return _POOL[_h(conv_id, turn_idx) % 100]
+
+
+def turn_role(conv_id: str, turn_idx: int) -> str:
+    return _ROLES[_h(conv_id, turn_idx) % 3]
+
+
+def iter_rows(scale: str):
+    payloads = corpus_payloads()
+    payload_text = {k: v.decode("latin-1") for k, v in payloads.items()}
+    for ci, conv_id in enumerate(conv_ids(scale)):
+        n_turns = turns_for_conv(scale, ci)
+        for t in range(n_turns):
+            role = turn_role(conv_id, t)
+            doc_id = assign_doc_id(conv_id, t)
+            yield {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": payload_text[doc_id],
+                "tool": _TOOLS[_h(conv_id, t) % len(_TOOLS)] if role == "tool" else None,
+                "ts": BASE_TS + timedelta(seconds=ci * 3600 + t * 60),
+            }
+
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us", tz="UTC")),
+])
+
+
+def table_path(scale: str, data_dir: str = DATA_DIR) -> str:
+    return os.path.join(data_dir, f"transcripts_{scale}.parquet")
+
+
+def write_transcripts(scale: str, data_dir: str = DATA_DIR,
+                      force: bool = False) -> str:
+    """Write (or reuse) the parquet table for a scale. Returns the path."""
+    path = table_path(scale, data_dir)
+    if os.path.exists(path) and not force:
+        return path
+    os.makedirs(data_dir, exist_ok=True)
+    cols: dict[str, list] = {f.name: [] for f in SCHEMA}
+    for row in iter_rows(scale):
+        for k in cols:
+            cols[k].append(row[k])
+    table = pa.Table.from_pydict(cols, schema=SCHEMA)
+    # Many small row groups → natural Spark input splits even for one file.
+    pq.write_table(table, path, row_group_size=4096, compression="zstd")
+    return path
+
+
+def expected_turns(scale: str) -> list[dict]:
+    """Golden per-turn outputs: what the pipeline must produce for every
+    (conv_id, turn_idx), derived from the corpus fixtures (the kernel
+    oracle). This is the byte-equality contract table."""
+    from .fixtures import load_fixtures
+    fx = load_fixtures()
+    out = []
+    for ci, conv_id in enumerate(conv_ids(scale)):
+        for t in range(turns_for_conv(scale, ci)):
+            doc_id = assign_doc_id(conv_id, t)
+            e = fx[doc_id]
+            out.append({
+                "conv_id": conv_id, "turn_idx": t, "doc_id": doc_id,
+                "pdf_type": e["pdf_type"], "text": e["text"],
+                "error_kind": e["error_kind"],
+            })
+    return out
+
+
+def scale_stats(scale: str) -> dict:
+    n_convs, _, _ = SCALES[scale]
+    n_mega = max(n_convs // 100, 1)
+    turns = [turns_for_conv(scale, i) for i in range(n_convs)]
+    total = sum(turns)
+    mega = sum(turns[:n_mega])
+    return {"scale": scale, "convs": n_convs, "turns": total,
+            "mega_convs": n_mega, "mega_share": round(mega / total, 3)}
+
+
+if __name__ == "__main__":
+    import sys
+    scales = sys.argv[1:] or ["t-small", "t-med"]
+    for s in scales:
+        p = write_transcripts(s, force=True)
+        print(scale_stats(s), "->", p)

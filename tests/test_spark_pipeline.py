@@ -1,0 +1,119 @@
+"""End-to-end Spark pipeline tests: per-turn byte-equality vs the kernel
+fixtures under stable turn ordering (the north-rule contract), routing
+selectivity, quarantine, salting plan shape, and kill-and-resume."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_inspector_spark.pipeline import (run_pipeline, split_quarantine,
+                                          with_turn_order)
+from pdf_inspector_spark.transcripts import expected_turns
+
+
+@pytest.fixture(scope="module")
+def result_df(spark, tsmall_path):
+    df = spark.read.parquet(tsmall_path)
+    result = with_turn_order(run_pipeline(df, with_markdown=True)).cache()
+    yield result
+    result.unpersist()
+
+
+def test_per_turn_text_equality(result_df):
+    """North rule: per-turn extracted text equals the kernel-oracle
+    fixtures byte-for-byte under Window.partitionBy(conv_id).orderBy(turn_idx)."""
+    rows = result_df.orderBy("conv_id", "turn_idx").collect()
+    expected = expected_turns("t-small")
+    assert len(rows) == len(expected)
+    mismatches = []
+    for row, exp in zip(rows, expected):
+        assert (row["conv_id"], row["turn_idx"]) == (exp["conv_id"], exp["turn_idx"])
+        if row["text_out"] != exp["text"]:
+            mismatches.append((exp["conv_id"], exp["turn_idx"], exp["doc_id"]))
+    assert not mismatches, f"text mismatch on {len(mismatches)} turns: {mismatches[:5]}"
+
+
+def test_classification_matches_fixtures(result_df):
+    rows = result_df.orderBy("conv_id", "turn_idx").collect()
+    expected = expected_turns("t-small")
+    for row, exp in zip(rows, expected):
+        assert row["pdf_type"] == exp["pdf_type"], (exp["doc_id"], row["pdf_type"])
+
+
+def test_turn_ordering_is_dense(result_df):
+    """row_number per conv matches turn_idx + 1 (dense, stable ordering)."""
+    bad = result_df.where(F.col("turn_rank") != F.col("turn_idx") + 1).count()
+    assert bad == 0
+
+
+def test_quarantine_routing(result_df):
+    good, quarantine = split_quarantine(result_df)
+    expected = expected_turns("t-small")
+    n_bad = sum(1 for e in expected if e["error_kind"] is not None)
+    assert quarantine.count() == n_bad
+    assert good.count() == len(expected) - n_bad
+    # quarantined rows carry the error kind, good rows never do
+    kinds = {r["error_kind"] for r in quarantine.select("error_kind").collect()}
+    assert None not in kinds and kinds
+
+
+def test_early_exit_rows_not_extracted(result_df):
+    scanned = result_df.where(F.col("pdf_type") == "scanned")
+    assert scanned.count() > 0
+    assert scanned.where(F.col("text_out").isNotNull()).count() == 0
+    assert scanned.where(~F.col("ocr_recommended")).count() == 0
+
+
+def test_salted_plan_repartitions_before_extract(spark, tsmall_path):
+    df = spark.read.parquet(tsmall_path)
+    plan = run_pipeline(df, salt_buckets=8)._jdf.queryExecution().toString()
+    assert "hashpartitioning" in plan or "REPARTITION" in plan
+
+
+def test_payload_not_in_output(result_df):
+    """The payload column must be dropped before the output/ordering
+    shuffle — only derived columns move (scale contract)."""
+    assert "text" not in result_df.columns
+    assert "text_out" in result_df.columns
+
+
+def test_markdown_produced_for_text_docs(result_df):
+    md_rows = result_df.where(F.col("pdf_type") == "text_based") \
+        .where(F.col("markdown").isNull()).count()
+    assert md_rows == 0
+
+
+def test_kill_and_resume(spark, tsmall_path, tmp_path):
+    """Crash mid-run → second invocation skips completed buckets and the
+    final output equals a clean one-shot run (idempotent resume)."""
+    from pdf_inspector_spark.lineage import (read_completed_buckets,
+                                             read_quarantine, read_turns,
+                                             run_with_checkpoint)
+    out_dir = os.path.join(str(tmp_path), "out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoint(spark, tsmall_path, out_dir, "run-1",
+                            num_buckets=8, buckets_per_wave=2,
+                            with_markdown=False, fail_after_waves=2)
+    done = read_completed_buckets(spark, out_dir, "run-1")
+    assert 0 < len(done) < 8, "partial progress expected after crash"
+
+    metrics = run_with_checkpoint(spark, tsmall_path, out_dir, "run-1",
+                                  num_buckets=8, buckets_per_wave=2,
+                                  with_markdown=False)
+    assert metrics["buckets_skipped"] == len(done)
+
+    turns = read_turns(spark, out_dir)
+    quarantine = read_quarantine(spark, out_dir)
+    expected = expected_turns("t-small")
+    n_bad = sum(1 for e in expected if e["error_kind"] is not None)
+    assert turns.count() == len(expected) - n_bad
+    assert quarantine.count() == n_bad
+    # no duplicates from re-run waves
+    assert turns.select("conv_id", "turn_idx").distinct().count() == turns.count()
+    # lineage covers every bucket exactly once
+    lineage = spark.read.parquet(os.path.join(out_dir, "_lineage"))
+    per_bucket = lineage.groupBy("bucket").count().collect()
+    assert len(per_bucket) == 8
+    assert all(r["count"] == 1 for r in per_bucket)

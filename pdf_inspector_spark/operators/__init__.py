@@ -1,0 +1,47 @@
+"""Operator registry: every engine capability exposed through the driver
+contract (__spark_entry__.queries / oracle_sql).
+
+Each operator registers a (spark_builder, duckdb_oracle_sql) pair with
+IDENTICAL output column names and deterministic values, so the driver's
+row-count + schema + value-hash comparison is meaningful. Operators whose
+semantics aren't SQL-expressible register oracle=None (rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Operator:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Operator] = {}
+
+
+def register(name: str, spark: Callable[[SparkSession, str], DataFrame],
+             oracle: str | None, doc: str = "") -> None:
+    REGISTRY[name] = Operator(name, spark, oracle, doc)
+
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver tables as temp views (idempotent)."""
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def all_operators() -> dict[str, Operator]:
+    # Import side-effect registration on first use.
+    from . import dedup, extraction, relational, similarity, textstats  # noqa: F401
+    return REGISTRY

@@ -1,0 +1,256 @@
+"""Deduplication operators over the documents table: exact (hash-groupBy),
+MinHash+LSH (shingle→minhash→band→bucket-join), SimHash, and n-gram
+Jaccard verification.
+
+Everything is column expressions — shingling, hashing, min-folding and
+banding all run JVM-side via higher-order array functions, so the hot
+path never leaves Tungsten. The band bucket join is the scale path: at
+10^12 rows the candidate join shuffles only (band, key, doc_id), never
+document text.
+
+Hash = first 15 hex chars of md5 as bigint (same value in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import load_views, register
+from .textstats import DUCK_H64, SPARK_H64
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str):
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+    return run
+
+
+# -- exact dedup ------------------------------------------------------------
+
+_EXACT_SPARK = f"""
+WITH hashed AS (
+  SELECT doc_id, {SPARK_H64.format(x='text')} AS text_hash FROM documents
+)
+SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM hashed
+GROUP BY text_hash
+HAVING COUNT(*) > 1
+ORDER BY text_hash
+"""
+
+_EXACT_DUCK = f"""
+WITH hashed AS (
+  SELECT doc_id, {DUCK_H64.format(x='text')} AS text_hash FROM documents
+)
+SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM hashed
+GROUP BY text_hash
+HAVING COUNT(*) > 1
+ORDER BY text_hash
+"""
+
+register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
+         "exact duplicate groups via content-hash groupBy (map-side combine)")
+
+_EXACT_KEEP_SPARK = f"""
+WITH hashed AS (
+  SELECT doc_id, {SPARK_H64.format(x='lower(text)')} AS text_hash FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT text_hash) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
+FROM hashed
+"""
+
+_EXACT_KEEP_DUCK = f"""
+WITH hashed AS (
+  SELECT doc_id, {DUCK_H64.format(x='lower(text)')} AS text_hash FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT text_hash) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
+FROM hashed
+"""
+
+register("dedup_exact_stats", _sql(_EXACT_KEEP_SPARK), _EXACT_KEEP_DUCK,
+         "normalized exact-dedup cardinality stats")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+# 3-word shingles → 8 minhashes (seeded md5-60bit) → 4 bands × 2 rows →
+# candidate pairs sharing any band bucket.
+
+_SH_SPARK_H = SPARK_H64.format(x="concat(cast(j AS STRING), ':', s)")
+_SH_DUCK_H = DUCK_H64.format(x="j::VARCHAR || ':' || s")
+
+_MINHASH_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, size(ts) - 2),
+             i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+                            element_at(ts, i + 2)))) AS shingles
+  FROM toks WHERE size(ts) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         transform(sequence(0, 7),
+             j -> array_min(transform(shingles, s -> {_SH_SPARK_H}))) AS mins
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         {SPARK_H64.format(x="concat(cast(element_at(mins, 2*b+1) AS STRING), ':', cast(element_at(mins, 2*b+2) AS STRING))")} AS bkey
+  FROM mh
+  LATERAL VIEW explode(sequence(0, 3)) AS b
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+_MINHASH_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ts) - 1),
+             i -> ts[i::int] || ' ' || ts[i::int + 1] || ' ' || ts[i::int + 2])) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(shingles, s -> {_SH_DUCK_H}))) AS mins
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         {DUCK_H64.format(x="mins[(2*b+1)::int]::VARCHAR || ':' || mins[(2*b+2)::int]::VARCHAR")} AS bkey
+  FROM mh, (SELECT unnest(range(0, 4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+register("dedup_minhash_lsh", _sql(_MINHASH_SPARK), _MINHASH_DUCK,
+         "MinHash(8)+LSH(4 bands×2 rows) candidate pairs; band join shuffles "
+         "only (band, key, doc_id)")
+
+
+# -- SimHash ----------------------------------------------------------------
+# 16-bit SimHash over distinct-token hashes: bit b set iff the majority of
+# token hashes have bit b set.
+
+_SIMHASH_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS ts
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, transform(ts, t -> {SPARK_H64.format(x='t')}) AS hashes
+  FROM toks WHERE size(ts) > 0
+)
+SELECT doc_id,
+       aggregate(
+         transform(sequence(0, 15),
+           b -> CASE WHEN aggregate(hashes, 0L,
+                          (acc, h) -> acc + (shiftright(h, b) & 1L) * 2L - 1L) > 0
+                     THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0L END),
+         0L, (acc, x) -> acc + x) AS simhash
+FROM hs
+ORDER BY doc_id
+"""
+
+_SIMHASH_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ts
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, list_transform(ts, t -> {DUCK_H64.format(x='t')}) AS hashes
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 16),
+         b -> CASE WHEN list_sum(list_transform(hashes,
+                        h -> ((h >> b::int) & 1) * 2 - 1)) > 0
+                   THEN (1::BIGINT << b::int) ELSE 0 END))::BIGINT AS simhash
+FROM hs
+ORDER BY doc_id
+"""
+
+register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
+         "16-bit SimHash per document (majority vote over token-hash bits)")
+
+
+# -- n-gram Jaccard verification -------------------------------------------
+# Candidate blocking by source; exact Jaccard over distinct 3-gram sets as
+# an integer pair (intersection, union) plus a milli-Jaccard integer.
+
+_JACCARD_SPARK = """
+WITH sh AS (
+  SELECT doc_id, source,
+         array_distinct(transform(sequence(1, size(ts) - 2),
+             i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+                            element_at(ts, i + 2)))) AS shingles
+  FROM (SELECT doc_id, source,
+               filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+        FROM documents)
+  WHERE size(ts) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       size(array_intersect(a.shingles, b.shingles)) AS n_inter,
+       size(a.shingles) + size(b.shingles)
+         - size(array_intersect(a.shingles, b.shingles)) AS n_union,
+       CAST(size(array_intersect(a.shingles, b.shingles)) * 1000 AS BIGINT)
+         DIV (size(a.shingles) + size(b.shingles)
+              - size(array_intersect(a.shingles, b.shingles))) AS jaccard_milli
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE size(array_intersect(a.shingles, b.shingles)) * 10
+      >= size(a.shingles) + size(b.shingles)
+         - size(array_intersect(a.shingles, b.shingles))
+ORDER BY doc_a, doc_b
+"""
+
+_JACCARD_DUCK = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(ts) - 1),
+             i -> ts[i::int] || ' ' || ts[i::int + 1] || ' ' || ts[i::int + 2])) AS shingles
+  FROM (SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents)
+  WHERE len(ts) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_union
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       (n_inter * 1000) // n_union AS jaccard_milli
+FROM pairs
+WHERE n_inter * 10 >= n_union
+ORDER BY doc_a, doc_b
+"""
+
+register("dedup_ngram_jaccard", _sql(_JACCARD_SPARK), _JACCARD_DUCK,
+         "blocked pairwise 3-gram Jaccard (integer milli-Jaccard ≥ 0.1)")

@@ -1,0 +1,138 @@
+"""Extraction-stage operators exposed through the driver contract.
+
+These run the real Spark pipeline over the deterministic transcripts
+table (t-small scale) and are checked against the kernel-oracle fixture
+parquet — the per-turn byte-equality contract (north rule). The oracle
+SQL reads the fixture file directly via read_parquet(); the fixture is
+(re)generated deterministically on demand, so the comparison is stable.
+
+``sf_dir`` is accepted for contract compatibility but unused: the
+extraction input is the transcripts table, not the TPC-H star schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from . import register
+from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
+
+SCALE = "t-small"
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}.parquet")
+
+
+def ensure_fixture_tables() -> tuple[str, str]:
+    """Materialize the transcripts table and its expected-output parquet."""
+    tpath = write_transcripts(SCALE)
+    if not os.path.exists(EXPECTED_PATH):
+        rows = expected_turns(SCALE)
+        table = pa.Table.from_pylist(rows, schema=pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("doc_id", pa.string()), ("pdf_type", pa.string()),
+            ("text", pa.string()), ("error_kind", pa.string()),
+        ]))
+        os.makedirs(DATA_DIR, exist_ok=True)
+        pq.write_table(table, EXPECTED_PATH, compression="zstd")
+    return tpath, EXPECTED_PATH
+
+
+_RESULT_CACHE: dict = {}
+
+
+def _pipeline_result(spark: SparkSession):
+    """Run the pipeline once per session and reuse across the extraction
+    queries (cached DataFrame of derived columns only — tiny)."""
+    key = id(spark)
+    if key not in _RESULT_CACHE:
+        from ..pipeline import run_pipeline, with_turn_order
+        tpath, _ = ensure_fixture_tables()
+        df = spark.read.parquet(tpath)
+        _RESULT_CACHE[key] = with_turn_order(
+            run_pipeline(df, with_markdown=False, salt_buckets=8)).cache()
+    return _RESULT_CACHE[key]
+
+
+def _classify_counts(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .groupBy("pdf_type")
+            .agg(F.count("*").alias("n_turns"))
+            .orderBy(F.col("pdf_type").asc_nulls_first()))
+
+
+def _extract_turns(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .select("conv_id", "turn_idx",
+                    F.col("text_out").alias("text"))
+            .orderBy("conv_id", "turn_idx"))
+
+
+def _quarantine_counts(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .where(F.col("error_kind").isNotNull())
+            .groupBy("error_kind")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("error_kind"))
+
+
+def _turn_rank(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .select("conv_id", "turn_idx", "turn_rank")
+            .orderBy("conv_id", "turn_idx"))
+
+
+def _routing_selectivity(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.when(F.col("pdf_type").isin("text_based", "mixed"), 1)
+                       .otherwise(0)).alias("n_routable"),
+                 F.sum(F.when(F.col("ocr_recommended"), 1).otherwise(0))
+                 .alias("n_ocr_flagged"),
+                 F.sum(F.when(F.col("text_out").isNotNull(), 1).otherwise(0))
+                 .alias("n_extracted")))
+
+
+def _register_all() -> None:
+    ensure_fixture_tables()
+    exp = f"read_parquet('{EXPECTED_PATH}')"
+
+    register("pi_classify_counts", _classify_counts, f"""
+        SELECT pdf_type, COUNT(*) AS n_turns FROM {exp}
+        GROUP BY pdf_type ORDER BY pdf_type NULLS FIRST
+    """, "pipeline classification counts vs kernel-oracle fixtures")
+
+    register("pi_extract_turns", _extract_turns, f"""
+        SELECT conv_id, turn_idx, text FROM {exp}
+        ORDER BY conv_id, turn_idx
+    """, "per-turn extracted text — the byte-equality contract "
+         "(window-ordered on conv_id, turn_idx)")
+
+    register("pi_quarantine_counts", _quarantine_counts, f"""
+        SELECT error_kind, COUNT(*) AS n_rows FROM {exp}
+        WHERE error_kind IS NOT NULL
+        GROUP BY error_kind ORDER BY error_kind
+    """, "quarantine-channel row counts by error kind")
+
+    register("pi_turn_rank", _turn_rank, f"""
+        SELECT conv_id, turn_idx,
+               ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS turn_rank
+        FROM {exp} ORDER BY conv_id, turn_idx
+    """, "stable turn-ordering contract: row_number over (conv_id, turn_idx)")
+
+    register("pi_routing_selectivity", _routing_selectivity, f"""
+        SELECT COUNT(*) AS n_turns,
+               SUM(CASE WHEN pdf_type IN ('text_based','mixed') THEN 1 ELSE 0 END)
+                 AS n_routable,
+               SUM(CASE WHEN pdf_type IN ('scanned','image_based','mixed')
+                        THEN 1 ELSE 0 END) AS n_ocr_flagged,
+               SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS n_extracted
+        FROM {exp}
+    """, "routing selectivity: routable / OCR-flagged / extracted counts")
+
+
+_register_all()

@@ -1,0 +1,178 @@
+"""Classic relational operators (SURVEY.md §2.8 checklist): partial+final
+hash aggregation, broadcast joins, window functions, session-window
+clustering (the reference's gap-based line/row clustering idiom lifted to
+SQL), top-k, and the checkpoint-style anti-join.
+
+Money aggregates are summed as DECIMAL(18,2) — exact and associative, so
+Spark's parallel partial aggregation and DuckDB's serial sum agree bit-
+for-bit — then cast to double for a stable output schema.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from . import load_views, register
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str):
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+    return run
+
+
+# -- pricing summary (hash agg with exact decimal sums) ---------------------
+
+_Q1 = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("rel_pricing_summary", _sql(_Q1), _Q1,
+         "TPC-H Q1-style partial+final hash aggregation over lineitem")
+
+
+# -- broadcast dimension join (revenue per nation) --------------------------
+
+_REVENUE_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+def _revenue_spark(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    # dims are small → broadcast: no shuffle of the fact table for the join
+    joined = (orders
+              .join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey))
+    return (joined.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("nation"))
+
+
+register("rel_broadcast_join_revenue", _revenue_spark, _REVENUE_SQL,
+         "orders⋈customer⋈nation with explicit broadcast of the dims")
+
+
+# -- window top-k per group -------------------------------------------------
+
+_TOPK = """
+SELECT c_custkey, o_orderkey, rnk
+FROM (
+  SELECT c.c_custkey, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+) t
+WHERE rnk <= 3
+ORDER BY c_custkey, rnk
+"""
+
+register("rel_window_topk_orders", _sql(_TOPK), _TOPK,
+         "top-3 orders per customer via ROW_NUMBER window")
+
+
+# -- session windows over events (gap-based clustering idiom) ---------------
+
+_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_SESSIONS_DUCK = _SESSIONS.replace("INTERVAL 30 MINUTE", "INTERVAL 30 MINUTES")
+
+register("rel_sessionize_events", _sql(_SESSIONS), _SESSIONS_DUCK,
+         "session-window clustering: sum(when(gap>tol,1)) over window — the "
+         "reference's line-clustering idiom (src/extractor.rs:2386-2431) in SQL")
+
+
+# -- event-type rates per hour (time bucketing + pivot-style agg) -----------
+
+_RATES = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+register("rel_event_rates_hourly", _sql(_RATES), _RATES,
+         "time-bucketed aggregation with conditional counts")
+
+
+# -- anti-join (checkpoint-resume idiom) ------------------------------------
+
+_ANTI = """
+SELECT c.c_custkey
+FROM customer c
+LEFT ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey
+"""
+
+_ANTI_DUCK = """
+SELECT c.c_custkey
+FROM customer c
+ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey
+"""
+
+register("rel_anti_join_unmatched", _sql(_ANTI), _ANTI_DUCK,
+         "anti-join — the lineage resume primitive (customers with no orders)")
+
+
+# -- distinct + set op ------------------------------------------------------
+
+_SETOP = """
+SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+register("rel_distinct_agg_part", _sql(_SETOP), _SETOP,
+         "distinct aggregation over part")

@@ -1,0 +1,165 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- brute-force cosine top-k: the correctness baseline. The dot product is
+  a deterministic index-ordered double fold (identical fold order in both
+  engines → bit-identical sums → stable ranks).
+- LSH-bucketed variant (sign-random-projection): the scale path — at
+  10^12 vectors the bucket join replaces the full cross join; buckets
+  shuffle only (bucket, vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import load_views, register
+from .textstats import DUCK_H64, SPARK_H64
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str):
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+    return run
+
+
+# -- brute-force cosine top-k ----------------------------------------------
+
+_DOT_SPARK = ("aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> "
+              "acc + CAST(element_at({a}, i) AS DOUBLE)"
+              " * CAST(element_at({b}, i) AS DOUBLE))")
+
+_DOT_DUCK = ("list_sum(list_transform(range(1, 65), i -> "
+             "{a}[i::int]::DOUBLE * {b}[i::int]::DOUBLE))")
+
+_TOPK_SPARK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_DOT_SPARK.format(a='q.qe', b='e.embedding')} AS dot,
+         sqrt({_DOT_SPARK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_SPARK.format(a='e.embedding', b='e.embedding')}) AS en
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM pairs
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+_TOPK_DUCK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_DOT_DUCK.format(a='q.qe', b='e.embedding')} AS dot,
+         sqrt({_DOT_DUCK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_DUCK.format(a='e.embedding', b='e.embedding')}) AS en
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM pairs
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+register("sim_cosine_topk", _sql(_TOPK_SPARK), _TOPK_DUCK,
+         "brute-force cosine top-5 for 10 query vectors (deterministic "
+         "index-ordered double fold)")
+
+
+# -- LSH bucket variant (sign random projection) ----------------------------
+# 8 pseudo-random hyperplanes derived from md5(seed, dim) in [-0.5, 0.5];
+# bucket = sign bits. Neighbor candidates share a bucket. Deterministic in
+# both engines because the planes derive from the shared 60-bit hash.
+
+_PLANE_SPARK = ("(CAST(" + SPARK_H64.format(x="concat(cast(p AS STRING), '_', cast(i AS STRING))")
+                + " % 1000 AS DOUBLE) / 1000.0 - 0.5)")
+_PLANE_DUCK = ("((" + DUCK_H64.format(x="p::VARCHAR || '_' || i::VARCHAR")
+               + " % 1000)::DOUBLE / 1000.0 - 0.5)")
+
+_LSH_SPARK = f"""
+WITH sigs AS (
+  SELECT vec_id,
+         aggregate(sequence(0, 7), 0L, (acc, p) -> acc +
+           CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+                  (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE)
+                            * {_PLANE_SPARK}) > 0
+                THEN CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) ELSE 0L END) AS bucket
+  FROM embeddings
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM sigs
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+_LSH_DUCK = f"""
+WITH sigs AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65),
+                  i -> embedding[i::int]::DOUBLE * {_PLANE_DUCK})) > 0
+                THEN (1::BIGINT << p::int) ELSE 0 END))::BIGINT AS bucket
+  FROM embeddings
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM sigs
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+register("sim_lsh_buckets", _sql(_LSH_SPARK), _LSH_DUCK,
+         "sign-random-projection LSH bucketing (8-bit signatures) — the "
+         "ANN scale path; candidates join on bucket instead of cross join")
+
+
+# -- embedding-cosine near-duplicate pairs ----------------------------------
+# Embedding near-dup detection: pairs with cosine ≥ 0.95 among label-blocked
+# candidates (label works as the blocking key at test scale).
+
+_NEARDUP_SPARK = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT_SPARK.format(a='a.embedding', b='b.embedding')} AS dot,
+         sqrt({_DOT_SPARK.format(a='a.embedding', b='a.embedding')}) AS na,
+         sqrt({_DOT_SPARK.format(a='b.embedding', b='b.embedding')}) AS nb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 3) AS cos_sim
+FROM pairs
+WHERE dot / (na * nb) >= 0.5
+ORDER BY vec_a, vec_b
+"""
+
+_NEARDUP_DUCK = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT_DUCK.format(a='a.embedding', b='b.embedding')} AS dot,
+         sqrt({_DOT_DUCK.format(a='a.embedding', b='a.embedding')}) AS na,
+         sqrt({_DOT_DUCK.format(a='b.embedding', b='b.embedding')}) AS nb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 3) AS cos_sim
+FROM pairs
+WHERE dot / (na * nb) >= 0.5
+ORDER BY vec_a, vec_b
+"""
+
+register("sim_embedding_neardup", _sql(_NEARDUP_SPARK), _NEARDUP_DUCK,
+         "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.5)")

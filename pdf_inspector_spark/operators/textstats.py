@@ -1,0 +1,183 @@
+"""Text-analysis operators over the documents table: language ID
+(stopword-ratio heuristic), quality scoring, token counting, and
+rolling-hash document fingerprinting.
+
+All computations are pure column expressions (JVM-side in Spark — no
+Python in the hot path) with integer/exact arithmetic wherever a value
+crosses the Spark↔DuckDB comparison boundary.
+
+Shared deterministic 60-bit hash: first 15 hex chars of md5, as bigint —
+identical in both engines:
+  Spark:  cast(conv(substring(md5(x),1,15),16,10) as bigint)
+  DuckDB: ('0x'||substr(md5(x),1,15))::bigint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import load_views, register
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str):
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+    return run
+
+
+SPARK_H64 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+DUCK_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_STOPWORDS = "('the','a','and','of','to','in','is','for','on','with')"
+
+
+# -- language ID ------------------------------------------------------------
+
+_LANGID_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, size(ts) AS n_tokens,
+         size(filter(ts, t -> t IN {_STOPWORDS})) AS n_stop
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, n_stop,
+       CASE WHEN n_tokens > 0 AND n_stop * 20 >= n_tokens
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+_LANGID_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, len(ts) AS n_tokens,
+         len(list_filter(ts, t -> t IN {_STOPWORDS})) AS n_stop
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, n_stop,
+       CASE WHEN n_tokens > 0 AND n_stop * 20 >= n_tokens
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+register("text_langid", _sql(_LANGID_SPARK), _LANGID_DUCK,
+         "stopword-ratio language ID (integer-ratio decision, no float)")
+
+
+# -- quality scoring --------------------------------------------------------
+# Integer feature extraction; the score stays a ratio of exact ints.
+
+_QUALITY_SPARK = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '')) AS n_upper
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_upper,
+       (CASE WHEN n_tokens >= 50 THEN 40 ELSE n_tokens * 40 DIV 50 END)
+       + (CASE WHEN n_tokens > 0 AND n_chars * 10 BETWEEN n_tokens * 30 AND n_tokens * 80
+               THEN 30 ELSE 0 END)
+       + (CASE WHEN n_punct * 10 <= n_chars THEN 20 ELSE 0 END)
+       + (CASE WHEN n_upper * 5 <= n_chars THEN 10 ELSE 0 END) AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+_QUALITY_DUCK = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_upper,
+       (CASE WHEN n_tokens >= 50 THEN 40 ELSE n_tokens * 40 // 50 END)
+       + (CASE WHEN n_tokens > 0 AND n_chars * 10 BETWEEN n_tokens * 30 AND n_tokens * 80
+               THEN 30 ELSE 0 END)
+       + (CASE WHEN n_punct * 10 <= n_chars THEN 20 ELSE 0 END)
+       + (CASE WHEN n_upper * 5 <= n_chars THEN 10 ELSE 0 END) AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+register("text_quality_score", _sql(_QUALITY_SPARK), _QUALITY_DUCK,
+         "length/punct/case quality features → integer 0-100 score")
+
+
+# -- token counting ---------------------------------------------------------
+
+_TOKENS_SPARK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       MAX(n_tokens) AS max_tokens
+FROM toks
+GROUP BY source
+ORDER BY source
+"""
+
+_TOKENS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       MAX(n_tokens) AS max_tokens
+FROM toks
+GROUP BY source
+ORDER BY source
+"""
+
+register("text_token_counts", _sql(_TOKENS_SPARK), _TOKENS_DUCK,
+         "whitespace tokenization + per-source aggregation")
+
+
+# -- rolling-hash fingerprint ----------------------------------------------
+# Winnowing-lite: hash every 8-char window at stride 4, keep the minimum.
+
+_FP_SPARK = f"""
+SELECT doc_id,
+       array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4),
+                           i -> {SPARK_H64.format(x='substring(text, i, 8)')})) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+_FP_DUCK = f"""
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
+                               i -> {DUCK_H64.format(x='substr(text, i::int, 8)')})) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+register("text_fingerprint", _sql(_FP_SPARK), _FP_DUCK,
+         "rolling-hash winnowing fingerprint (min of windowed md5-60bit)")

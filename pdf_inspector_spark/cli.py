@@ -1,0 +1,91 @@
+"""CLI parity with the reference binaries (reference: src/bin/pdf2md.rs,
+src/bin/detect_pdf.rs): single-document inspection without Spark.
+
+    python -m pdf_inspector_spark.cli detect <file.pdf> [--json]
+    python -m pdf_inspector_spark.cli pdf2md <file.pdf> [--json|--text]
+
+Exit codes mirror the reference: 0 success, 2 scanned-needs-OCR
+(src/bin/pdf2md.rs exit-code contract), 1 error.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _read(path: str) -> bytes | None:
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError as exc:
+        print(f"error: cannot read {path}: {exc.strerror}", file=sys.stderr)
+        return None
+
+
+def _detect(path: str, as_json: bool) -> int:
+    from .kernels.pipeline import classify_mem
+    t0 = time.monotonic()
+    buf = _read(path)
+    if buf is None:
+        return 1
+    r = classify_mem(buf)
+    r["detection_time_ms"] = int((time.monotonic() - t0) * 1000)
+    if r["error_kind"]:
+        print(json.dumps(r) if as_json else f"error: {r['error_msg']}",
+              file=sys.stderr)
+        return 1
+    if as_json:
+        print(json.dumps({k: r[k] for k in (
+            "pdf_type", "page_count", "pages_sampled", "pages_with_text",
+            "confidence", "title", "ocr_recommended", "detection_time_ms")}))
+    else:
+        print(f"type: {r['pdf_type']} (confidence {r['confidence']:.2f})")
+        print(f"pages: {r['page_count']} (sampled {r['pages_sampled']}, "
+              f"with text {r['pages_with_text']})")
+        if r["title"]:
+            print(f"title: {r['title']}")
+        print(f"ocr recommended: {r['ocr_recommended']}")
+    return 0
+
+
+def _pdf2md(path: str, mode: str) -> int:
+    from .kernels.pipeline import process_pdf_mem
+    buf = _read(path)
+    if buf is None:
+        return 1
+    r = process_pdf_mem(buf)
+    if r["error_kind"]:
+        print(f"error: {r['error_msg']}", file=sys.stderr)
+        return 1
+    if r["pdf_type"] in ("scanned", "image_based"):
+        print(f"PDF is {r['pdf_type']}; OCR required", file=sys.stderr)
+        return 2
+    if mode == "--json":
+        print(json.dumps({k: r[k] for k in (
+            "pdf_type", "page_count", "confidence", "markdown", "text",
+            "processing_time_ms")}))
+    elif mode == "--text":
+        print(r["text"] or "")
+    else:
+        print(r["markdown"] or "", end="")
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+    cmd, path = argv[0], argv[1]
+    flag = argv[2] if len(argv) > 2 else ""
+    if cmd == "detect":
+        return _detect(path, flag == "--json")
+    if cmd == "pdf2md":
+        return _pdf2md(path, flag)
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

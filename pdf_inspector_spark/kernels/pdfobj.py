@@ -69,6 +69,8 @@ class Stream:
 
 
 _WS = b"\x00\t\n\x0c\r "
+_TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+_REF_RE = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
 _DELIM = b"()<>[]{}/%"
 
 
@@ -121,7 +123,7 @@ class _Lexer:
                 arr.append(self.parse_object())
             return arr
         # keywords / numbers / refs
-        m = re.compile(rb"[^\s()<>\[\]{}/%]+").match(data, self.pos)
+        m = _TOKEN_RE.match(data, self.pos)
         if not m:
             raise ValueError(f"bad token at {self.pos}")
         tok = m.group(0)
@@ -142,7 +144,7 @@ class _Lexer:
         # lookahead for reference
         save = self.pos
         self._skip_ws()
-        m2 = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])").match(data, self.pos)
+        m2 = _REF_RE.match(data, self.pos)
         if m2 is not None:
             self.pos = m2.end()
             return Ref(num, int(m2.group(1)))

@@ -14,7 +14,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 256,
+              arrow_batch_rows: int = 1024,
               extra_conf: dict | None = None) -> SparkSession:
     """Create (or get) a SparkSession.
 

@@ -125,24 +125,52 @@ SCHEMA = pa.schema([
 ])
 
 
+ROWS_PER_FILE = 3072
+
+
 def table_path(scale: str, data_dir: str = DATA_DIR) -> str:
     return os.path.join(data_dir, f"transcripts_{scale}.parquet")
 
 
 def write_transcripts(scale: str, data_dir: str = DATA_DIR,
                       force: bool = False) -> str:
-    """Write (or reuse) the parquet table for a scale. Returns the path."""
+    """Write (or reuse) the table for a scale as a DIRECTORY of part
+    files (~3k rows each). Returns the directory path.
+
+    Many files ≈ a real table layout: Spark gets file-level scan
+    parallelism, so the per-row pipeline runs straight on scan
+    partitions with no payload shuffle. (A single small parquet file
+    yields ONE input split regardless of row groups — measured as the
+    bench bottleneck.)
+    """
     path = table_path(scale, data_dir)
-    if os.path.exists(path) and not force:
+    done_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done_marker) and not force:
         return path
-    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        os.unlink(os.path.join(path, old))
     cols: dict[str, list] = {f.name: [] for f in SCHEMA}
+    part = 0
+
+    def flush() -> None:
+        nonlocal part, cols
+        if not cols["conv_id"]:
+            return
+        table = pa.Table.from_pydict(cols, schema=SCHEMA)
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=4096, compression="zstd")
+        part += 1
+        cols = {f.name: [] for f in SCHEMA}
+
     for row in iter_rows(scale):
         for k in cols:
             cols[k].append(row[k])
-    table = pa.Table.from_pydict(cols, schema=SCHEMA)
-    # Many small row groups → natural Spark input splits even for one file.
-    pq.write_table(table, path, row_group_size=4096, compression="zstd")
+        if len(cols["conv_id"]) >= ROWS_PER_FILE:
+            flush()
+    flush()
+    with open(done_marker, "w"):
+        pass
     return path
 
 

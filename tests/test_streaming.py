@@ -1,0 +1,75 @@
+"""Structured Streaming parity tests: the streaming pipeline over a file
+source must produce the same per-turn results as the batch pipeline, and
+resume incrementally when new files arrive."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from pdf_inspector_spark.streaming import stream_pipeline
+from pdf_inspector_spark.transcripts import expected_turns
+
+
+def test_stream_matches_batch_and_resumes(spark, tsmall_path, tmp_path):
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(tsmall_path) if f.endswith(".parquet"))
+    assert parts, "t-small table should have part files"
+
+    # Batch 1: first file arrives
+    shutil.copy(os.path.join(tsmall_path, parts[0]), src)
+    stream_pipeline(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # Batch 2: rerun with no new files → no duplicates (file tracking)
+    stream_pipeline(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # Batch 3: remaining files arrive → incremental processing
+    for p in parts[1:]:
+        shutil.copy(os.path.join(tsmall_path, p), src)
+    stream_pipeline(spark, src, out, ckpt)
+
+    result = spark.read.parquet(out)
+    expected = expected_turns("t-small")
+    assert result.count() == len(expected)
+    assert result.select("conv_id", "turn_idx").distinct().count() == len(expected)
+
+    # Per-turn text equality — same contract as the batch path
+    rows = {(r["conv_id"], r["turn_idx"]): r["text_out"]
+            for r in result.collect()}
+    for e in expected:
+        assert rows[(e["conv_id"], e["turn_idx"])] == e["text"], \
+            f"stream/batch divergence at {e['conv_id']}:{e['turn_idx']}"
+
+
+def test_stream_windowed_rates(spark, tsmall_path, tmp_path):
+    """Append-mode windowed agg emits a window only once the watermark
+    passes it; a heartbeat row with a far-future event time advances the
+    watermark and flushes the tail windows."""
+    import shutil
+
+    from pdf_inspector_spark.streaming import stream_type_rates
+    src = str(tmp_path / "rates_src")
+    out = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "rates_ckpt")
+    shutil.copytree(tsmall_path, src)
+    stream_type_rates(spark, src, out, ckpt)
+
+    # heartbeat: one row far past every open window → watermark advances
+    hb = spark.createDataFrame(
+        [("hb", 0, "user", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string"
+    ).select("*", F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"))
+    hb.write.mode("append").parquet(src)
+    stream_type_rates(spark, src, out, ckpt)
+
+    rates = spark.read.parquet(out)
+    total = (rates.where(F.col("window_start") < "2029-01-01")
+             .agg(F.sum("n_turns")).collect()[0][0])
+    assert total == len(expected_turns("t-small"))
+    assert rates.where(F.col("pdf_type") == "scanned").count() > 0

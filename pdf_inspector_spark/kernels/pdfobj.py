@@ -72,6 +72,11 @@ _WS = b"\x00\t\n\x0c\r "
 _TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 _REF_RE = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
 _DELIM = b"()<>[]{}/%"
+_WS_RE = re.compile(rb"[\x00\t\n\x0b\x0c\r ]*")
+_NAME_RE = re.compile(rb"[^\x00\t\n\x0b\x0c\r ()<>\[\]{}/%]*")
+# Fast path: an array containing only numbers (Widths, W, matrices, rects).
+# Cannot match if a reference ("N 0 R") or nested object is present.
+_NUM_ARRAY_RE = re.compile(rb"\[([\s\d.+-]*)\]")
 
 
 class _Lexer:
@@ -84,15 +89,17 @@ class _Lexer:
 
     def _skip_ws(self) -> None:
         data, n = self.data, self.n
-        while self.pos < n:
-            c = data[self.pos]
+        pos = self.pos
+        while pos < n:
+            c = data[pos]
             if c in _WS:
-                self.pos += 1
+                pos += 1
             elif c == 0x25:  # '%' comment
-                j = data.find(b"\n", self.pos)
-                self.pos = n if j == -1 else j + 1
+                j = data.find(b"\n", pos)
+                pos = n if j == -1 else j + 1
             else:
-                return
+                break
+        self.pos = pos
 
     def parse_object(self) -> Any:
         """Parse one object at the current position."""
@@ -111,6 +118,17 @@ class _Lexer:
                 return self._parse_dict_or_stream()
             return self._parse_hex_string()
         if c == 0x5B:  # '['
+            m = _NUM_ARRAY_RE.match(data, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                out: list[Any] = []
+                for tok in m.group(1).split():
+                    try:
+                        out.append(float(tok.decode("ascii")) if b"." in tok
+                                   else int(tok))
+                    except (ValueError, UnicodeDecodeError):
+                        pass
+                return out
             self.pos += 1
             arr: list[Any] = []
             while True:
@@ -153,22 +171,24 @@ class _Lexer:
 
     def _parse_name(self) -> Name:
         self.pos += 1  # '/'
-        data = self.data
-        out = bytearray()
-        while self.pos < self.n:
-            c = data[self.pos]
-            if c in _WS or c in _DELIM:
-                break
-            if c == 0x23 and self.pos + 2 < self.n:  # '#xx' escape
-                try:
-                    out.append(int(data[self.pos + 1:self.pos + 3], 16))
-                    self.pos += 3
-                    continue
-                except ValueError:
-                    pass
-            out.append(c)
-            self.pos += 1
-        return Name(bytes(out).decode("latin-1"))
+        m = _NAME_RE.match(self.data, self.pos)
+        raw = m.group(0)
+        self.pos = m.end()
+        if b"#" in raw:  # rare '#xx' escapes
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i] == 0x23 and i + 2 < len(raw):
+                    try:
+                        out.append(int(raw[i + 1:i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return Name(raw.decode("latin-1"))
 
     def _parse_literal_string(self) -> bytes:
         data = self.data

@@ -43,5 +43,6 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 
 def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
-    from . import dedup, extraction, relational, similarity, textstats  # noqa: F401
+    from . import (dedup, extraction, multimodal, relational,  # noqa: F401
+                   similarity, textstats)
     return REGISTRY

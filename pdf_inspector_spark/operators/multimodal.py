@@ -1,0 +1,84 @@
+"""Multimodal operators: binary media payloads with typed metadata.
+
+- ``mm_media_stats``: pure-SQL byte statistics over blobs (both engines
+  iterate the hex encoding — no UDF), cross-checked against DuckDB.
+- ``mm_media_features``: the real mapInPandas feature stage (entropy,
+  content hash); genuinely non-SQL-expressible → rows-only check.
+- decode/resize and frame-sample stages live in ``media.py`` with the
+  codec boundary stubbed (no imaging libs in this environment); their
+  Spark plumbing is covered by tests/test_media.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import register
+from ..media import media_features, write_media
+from .textstats import DUCK_H64, SPARK_H64
+
+
+def _ensure(spark: SparkSession):
+    path = write_media()
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView("media")
+    return df, path
+
+
+_STATS_SPARK = f"""
+WITH hx AS (
+  SELECT media_id, kind, fmt, width, height,
+         length(payload) AS n_bytes, hex(payload) AS h
+  FROM media
+)
+SELECT media_id, kind, fmt, n_bytes,
+       aggregate(sequence(0, n_bytes - 1), 0L,
+                 (acc, i) -> acc + CAST(conv(substring(h, CAST(i*2+1 AS INT), 2), 16, 10) AS BIGINT))
+         * 1000 DIV n_bytes AS byte_mean_milli,
+       CASE WHEN height > 0 THEN CAST(width AS BIGINT) * 1000 DIV height
+            ELSE 0 END AS aspect_milli,
+       {SPARK_H64.format(x='h')} AS payload_hash
+FROM hx
+ORDER BY media_id
+"""
+
+_STATS_DUCK = f"""
+WITH hx AS (
+  SELECT media_id, kind, fmt, width, height,
+         octet_length(payload) AS n_bytes, hex(payload) AS h
+  FROM media
+)
+SELECT media_id, kind, fmt, n_bytes,
+       list_sum(list_transform(range(0, n_bytes),
+                i -> ('0x' || substr(h, (i*2+1)::int, 2))::BIGINT))::BIGINT
+         * 1000 // n_bytes AS byte_mean_milli,
+       CASE WHEN height > 0 THEN width::BIGINT * 1000 // height
+            ELSE 0 END AS aspect_milli,
+       {DUCK_H64.format(x='h')} AS payload_hash
+FROM hx
+ORDER BY media_id
+"""
+
+
+def _stats_spark(spark: SparkSession, sf_dir: str):
+    _ensure(spark)
+    return spark.sql(_STATS_SPARK)
+
+
+def _features_spark(spark: SparkSession, sf_dir: str):
+    df, _ = _ensure(spark)
+    return media_features(df).orderBy("media_id")
+
+
+def _register() -> None:
+    path = write_media()  # oracle SQL needs the file on disk
+    register("mm_media_stats", _stats_spark,
+             _STATS_DUCK.replace("FROM media",
+                                 f"FROM read_parquet('{path}')"),
+             "pure-SQL blob byte statistics (hex-iteration, no UDF)")
+    register("mm_media_features", _features_spark, None,
+             "mapInPandas media feature extraction (entropy/content hash) — "
+             "non-SQL-expressible, rows-only check")
+
+
+_register()

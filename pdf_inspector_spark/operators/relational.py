@@ -176,3 +176,20 @@ ORDER BY p_brand
 
 register("rel_distinct_agg_part", _sql(_SETOP), _SETOP,
          "distinct aggregation over part")
+
+
+# -- rollup (multi-level aggregation) ---------------------------------------
+
+_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+register("rel_rollup_lineitem", _sql(_ROLLUP), _ROLLUP,
+         "ROLLUP multi-level aggregation (engine capability beyond the "
+         "reference's per-document folds)")

@@ -163,3 +163,89 @@ ORDER BY vec_a, vec_b
 
 register("sim_embedding_neardup", _sql(_NEARDUP_SPARK), _NEARDUP_DUCK,
          "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.5)")
+
+
+# -- IVF-style partitioned ANN ---------------------------------------------
+# 8 deterministic pseudo-centroids (hash-derived, unit-free): each vector
+# is assigned to its argmax-dot centroid; queries probe ONLY their own
+# centroid's inverted list. At 10^12 vectors the probe join replaces the
+# cross join and partitions co-locate by centroid id.
+
+_CENT_SPARK = ("(CAST(" + SPARK_H64.format(x="concat('c', cast(c AS STRING), '_', cast(i AS STRING))")
+               + " % 1000 AS DOUBLE) / 1000.0 - 0.5)")
+_CENT_DUCK = ("((" + DUCK_H64.format(x="'c' || c::VARCHAR || '_' || i::VARCHAR")
+              + " % 1000)::DOUBLE / 1000.0 - 0.5)")
+
+_ASSIGN_SPARK = f"""
+  SELECT vec_id, embedding,
+         array_position(
+           transform(sequence(0, 7), c ->
+             aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+               (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) * {_CENT_SPARK})),
+           array_max(
+             transform(sequence(0, 7), c ->
+               aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+                 (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) * {_CENT_SPARK})))
+         ) - 1 AS centroid
+  FROM embeddings
+"""
+
+_ASSIGN_DUCK = f"""
+  SELECT vec_id, embedding,
+         list_position(
+           list_transform(range(0, 8), c ->
+             list_sum(list_transform(range(1, 65),
+               i -> embedding[i::int]::DOUBLE * {_CENT_DUCK}))),
+           list_max(
+             list_transform(range(0, 8), c ->
+               list_sum(list_transform(range(1, 65),
+                 i -> embedding[i::int]::DOUBLE * {_CENT_DUCK}))))
+         ) - 1 AS centroid
+  FROM embeddings
+"""
+
+_IVF_SPARK = f"""
+WITH assigned AS ({_ASSIGN_SPARK}),
+q AS (SELECT vec_id AS qid, embedding AS qe, centroid FROM assigned WHERE vec_id < 10),
+probe AS (
+  SELECT q.qid, a.vec_id AS nid,
+         {_DOT_SPARK.format(a='q.qe', b='a.embedding')} AS dot,
+         sqrt({_DOT_SPARK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_SPARK.format(a='a.embedding', b='a.embedding')}) AS en
+  FROM q JOIN assigned a
+    ON a.centroid = q.centroid AND a.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM probe
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 3
+ORDER BY qid, rnk
+"""
+
+_IVF_DUCK = f"""
+WITH assigned AS ({_ASSIGN_DUCK}),
+q AS (SELECT vec_id AS qid, embedding AS qe, centroid FROM assigned WHERE vec_id < 10),
+probe AS (
+  SELECT q.qid, a.vec_id AS nid,
+         {_DOT_DUCK.format(a='q.qe', b='a.embedding')} AS dot,
+         sqrt({_DOT_DUCK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_DUCK.format(a='a.embedding', b='a.embedding')}) AS en
+  FROM q JOIN assigned a
+    ON a.centroid = q.centroid AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM probe
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 3
+ORDER BY qid, rnk
+"""
+
+register("sim_ivf_topk", _sql(_IVF_SPARK), _IVF_DUCK,
+         "IVF-style ANN: deterministic centroid assignment + single-probe "
+         "top-3 within the query's inverted list")

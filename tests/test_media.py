@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: binary payloads through mapInPandas stages,
+stubbed codec boundary, deterministic synthetic media table."""
+
+import hashlib
+import math
+
+import pytest
+
+from pdf_inspector_spark.media import (MediaCodecUnavailable, _payload_for,
+                                       decode_and_resize, media_features,
+                                       sample_frames, write_media)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return spark.read.parquet(write_media(200, force=False)).cache()
+
+
+def test_media_table_deterministic(tmp_path):
+    p1 = write_media(50, data_dir=str(tmp_path / "a"))
+    p2 = write_media(50, data_dir=str(tmp_path / "b"))
+    import pyarrow.parquet as pq
+    assert pq.read_table(p1).equals(pq.read_table(p2))
+
+
+def test_media_features_match_reference_computation(spark, media_df):
+    feats = {r["media_id"]: r for r in media_features(media_df).collect()}
+    rows = media_df.orderBy("media_id").limit(20).collect()
+    assert len(feats) >= 200 or len(feats) == media_df.count()
+    for r in rows:
+        payload = bytes(r["payload"])
+        f = feats[r["media_id"]]
+        assert f["n_bytes"] == len(payload)
+        assert f["byte_mean_milli"] == sum(payload) * 1000 // len(payload)
+        counts = [0] * 256
+        for b in payload:
+            counts[b] += 1
+        ent = -sum((c / len(payload)) * math.log2(c / len(payload))
+                   for c in counts if c)
+        assert f["byte_entropy_milli"] == int(ent * 1000)
+        assert f["content_hash"] == int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def test_decode_resize_shape_contract(spark, media_df):
+    """The stubbed decoder must honor the w*h*3 pixel-buffer contract so
+    downstream stages (e.g. embedding models) see correct batch shapes."""
+    out = decode_and_resize(media_df, out_w=32, out_h=16).collect()
+    n_images = media_df.where(media_df.kind == "image").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert len(r["pixels"]) == 32 * 16 * 3
+        assert (r["out_width"], r["out_height"]) == (32, 16)
+
+
+def test_frame_sampling_codec_stub_raises(spark, media_df):
+    """The video path surfaces MediaCodecUnavailable at executor time —
+    the documented drop-in point for ffmpeg."""
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as exc_info:
+        sample_frames(media_df).collect()
+    assert "MediaCodecUnavailable" in str(exc_info.value) \
+        or "frame sampling requires ffmpeg" in str(exc_info.value)
+
+
+def test_payload_generator_is_pure():
+    assert _payload_for(7, 100) == _payload_for(7, 100)
+    assert _payload_for(7, 100) != _payload_for(8, 100)

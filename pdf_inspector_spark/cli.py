@@ -73,6 +73,39 @@ def _pdf2md(path: str, mode: str) -> int:
     return 0
 
 
+def _debug_items(path: str, mode: str) -> int:
+    """Debug-bin parity (reference: src/bin/debug_pages.rs, debug_order.rs,
+    debug_ygaps.rs, debug_ligatures.rs): dump positioned items / lines /
+    Y-gaps for layout debugging."""
+    from .kernels.extractor import extract_text_with_positions_mem, group_into_lines
+    buf = _read(path)
+    if buf is None:
+        return 1
+    try:
+        items = extract_text_with_positions_mem(buf)
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    if mode == "--lines":
+        for line in group_into_lines([i for i in items if i.item_type == "text"]):
+            print(f"p{line.page} y={line.y:8.2f}  {line.text()}")
+    elif mode == "--ygaps":
+        lines = group_into_lines([i for i in items if i.item_type == "text"])
+        prev = None
+        for line in lines:
+            gap = (f"{prev[1] - line.y:8.2f}"
+                   if prev and prev[0] == line.page else "   start")
+            print(f"p{line.page} y={line.y:8.2f} gap={gap}  {line.text()[:60]}")
+            prev = (line.page, line.y)
+    else:
+        for i in items:
+            print(f"p{i.page} ({i.x:7.2f},{i.y:7.2f}) w={i.width:6.2f} "
+                  f"fs={i.font_size:5.2f} {i.font:8s} "
+                  f"{'B' if i.is_bold else ' '}{'I' if i.is_italic else ' '} "
+                  f"{i.item_type:5s} {i.text[:50]!r}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
@@ -83,9 +116,16 @@ def main(argv: list[str]) -> int:
         return _detect(path, flag == "--json")
     if cmd == "pdf2md":
         return _pdf2md(path, flag)
+    if cmd == "debug":
+        return _debug_items(path, flag)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    try:
+        sys.exit(main(sys.argv[1:]))
+    except BrokenPipeError:  # e.g. `| head` closed the pipe
+        os_devnull = open("/dev/null", "w")
+        sys.stdout = os_devnull
+        sys.exit(0)

@@ -918,6 +918,20 @@ def extract_text_with_positions_mem(buf: bytes) -> list[TextItem]:
     return extract_positioned_text_from_doc(doc, font_cmaps)
 
 
+def extract_text_mem(buf: bytes) -> str:
+    """Plain-text path (src/extractor.rs:839-851): full extraction with
+    per-page newlines, no reading-order reconstruction — the analog of
+    lopdf's built-in ``doc.extract_text`` used by the reference's
+    simple/fallback path."""
+    font_cmaps = FontCMaps.from_pdf_bytes(buf)
+    doc = Document.load_mem(buf)
+    pages: list[str] = []
+    for page_num, obj_num in sorted(doc.get_pages().items()):
+        items = extract_page_text_items(doc, obj_num, page_num, font_cmaps)
+        pages.append("".join(i.text for i in items if i.item_type == ITEM_TEXT))
+    return "\n".join(pages)
+
+
 # --------------------------------------------------------------------------
 # Reading-order reconstruction (src/extractor.rs:1998-2441)
 # --------------------------------------------------------------------------

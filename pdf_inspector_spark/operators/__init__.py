@@ -43,6 +43,6 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 
 def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
-    from . import (dedup, extraction, multimodal, relational,  # noqa: F401
-                   similarity, textstats)
+    from . import (conversation, dedup, extraction,  # noqa: F401
+                   multimodal, relational, similarity, textstats)
     return REGISTRY

@@ -1,0 +1,73 @@
+"""Conversation-level assembly: grouped-map (applyInPandas) over
+conv_id — the per-conversation reduction the reference cannot express
+(single-document library; SURVEY.md §2.8 grouped-map note).
+
+Assembles each conversation's extracted turn texts, in turn order, into
+one document string plus summary stats. The shuffle moves only derived
+columns (payloads were dropped by the pipeline stage); the group key is
+conv_id, so the mega-conversation skew is bounded by derived-column
+sizes, not payload sizes.
+
+Oracle: DuckDB string_agg over the kernel-fixture parquet.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import SparkSession
+
+from . import register
+from .extraction import EXPECTED_PATH, _pipeline_result, ensure_fixture_tables
+
+ASSEMBLY_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("n_turns", T.IntegerType()),
+    T.StructField("n_extracted", T.IntegerType()),
+    T.StructField("doc_chars", T.IntegerType()),
+    T.StructField("doc", T.StringType()),
+])
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx")
+    texts = [t for t in pdf["text_out"] if t is not None and t != ""]
+    doc = "\n\n".join(texts)
+    return pd.DataFrame([{
+        "conv_id": pdf["conv_id"].iloc[0],
+        "n_turns": len(pdf),
+        "n_extracted": len(texts),
+        "doc_chars": len(doc),
+        "doc": doc,
+    }])
+
+
+def _assemble(spark: SparkSession, sf_dir: str):
+    result = _pipeline_result(spark)
+    return (result.select("conv_id", "turn_idx", "text_out")
+            .groupBy("conv_id")
+            .applyInPandas(_assemble_group, ASSEMBLY_SCHEMA)
+            .orderBy("conv_id"))
+
+
+def _register() -> None:
+    ensure_fixture_tables()
+    register("conv_assemble_docs", _assemble, f"""
+        SELECT conv_id,
+               COUNT(*)::INT AS n_turns,
+               COUNT(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END)::INT
+                 AS n_extracted,
+               length(COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
+                 FILTER (WHERE text IS NOT NULL AND text <> ''), ''))::INT AS doc_chars,
+               COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
+                 FILTER (WHERE text IS NOT NULL AND text <> ''), '') AS doc
+        FROM read_parquet('{EXPECTED_PATH}')
+        GROUP BY conv_id
+        ORDER BY conv_id
+    """, "grouped-map conversation assembly (applyInPandas) — per-conv "
+         "document in stable turn order")
+
+
+_register()

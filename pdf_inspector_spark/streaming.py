@@ -57,6 +57,75 @@ def stream_pipeline(spark: SparkSession, input_dir: str, output_dir: str,
     return query
 
 
+PROGRESS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turns_seen", T.LongType()),
+    T.StructField("turns_extracted", T.LongType()),
+    T.StructField("chars_extracted", T.LongType()),
+    T.StructField("max_turn_idx", T.IntegerType()),
+])
+
+PROGRESS_STATE_SCHEMA = T.StructType([
+    T.StructField("turns_seen", T.LongType()),
+    T.StructField("turns_extracted", T.LongType()),
+    T.StructField("chars_extracted", T.LongType()),
+    T.StructField("max_turn_idx", T.IntegerType()),
+])
+
+
+def _progress_fn(key, pdfs, state):
+    """Custom stateful operator body (applyInPandasWithState): maintains a
+    running per-conversation extraction ledger across triggers."""
+    import pandas as pd
+    (conv_id,) = key
+    if state.exists:
+        turns_seen, turns_extracted, chars_extracted, max_turn = state.get
+    else:
+        turns_seen, turns_extracted, chars_extracted, max_turn = 0, 0, 0, -1
+    for pdf in pdfs:
+        turns_seen += len(pdf)
+        extracted = pdf["text_out"].dropna()
+        turns_extracted += len(extracted)
+        chars_extracted += int(extracted.str.len().sum())
+        if len(pdf):
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+    state.update((turns_seen, turns_extracted, chars_extracted, max_turn))
+    yield pd.DataFrame([{
+        "conv_id": conv_id, "turns_seen": turns_seen,
+        "turns_extracted": turns_extracted,
+        "chars_extracted": chars_extracted, "max_turn_idx": max_turn,
+    }])
+
+
+def stream_conversation_progress(spark: SparkSession, input_dir: str,
+                                 query_name: str = "conv_progress",
+                                 await_termination: bool = True):
+    """Custom stateful streaming operator: per-conversation running
+    extraction progress via ``applyInPandasWithState`` (state survives
+    across triggers via the checkpointed state store; memory sink in
+    update mode for inspection)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .pipeline import run_pipeline
+    stream = read_transcripts_stream(spark, input_dir)
+    result = run_pipeline(stream, with_markdown=False)
+    progress = (result.select("conv_id", "turn_idx", "text_out")
+                .groupBy("conv_id")
+                .applyInPandasWithState(
+                    _progress_fn, PROGRESS_OUTPUT_SCHEMA,
+                    PROGRESS_STATE_SCHEMA, "update",
+                    GroupStateTimeout.NoTimeout))
+    query = (progress.writeStream
+             .format("memory")
+             .queryName(query_name)
+             .outputMode("update")
+             .trigger(availableNow=True)
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def stream_type_rates(spark: SparkSession, input_dir: str, output_dir: str,
                       checkpoint_dir: str, *,
                       window: str = "1 hour", watermark: str = "2 hours",

@@ -73,3 +73,34 @@ def test_stream_windowed_rates(spark, tsmall_path, tmp_path):
              .agg(F.sum("n_turns")).collect()[0][0])
     assert total == len(expected_turns("t-small"))
     assert rates.where(F.col("pdf_type") == "scanned").count() > 0
+
+
+def test_stream_stateful_conversation_progress(spark, tsmall_path):
+    """applyInPandasWithState: the final per-conversation ledger must
+    equal batch ground truth (state accumulated across input files)."""
+    from pdf_inspector_spark.streaming import stream_conversation_progress
+    stream_conversation_progress(spark, tsmall_path, query_name="cp_test")
+    rows = spark.sql("select * from cp_test").collect()
+    # update-mode memory sink may emit a row per trigger; keep the last
+    # (max turns_seen) per conversation
+    final = {}
+    for r in rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["turns_seen"] > cur["turns_seen"]:
+            final[r["conv_id"]] = r
+    expected = {}
+    for e in expected_turns("t-small"):
+        s = expected.setdefault(e["conv_id"],
+                                {"seen": 0, "ext": 0, "chars": 0, "max": -1})
+        s["seen"] += 1
+        if e["text"] is not None:
+            s["ext"] += 1
+            s["chars"] += len(e["text"])
+        s["max"] = max(s["max"], e["turn_idx"])
+    assert set(final) == set(expected)
+    for conv_id, s in expected.items():
+        f = final[conv_id]
+        assert f["turns_seen"] == s["seen"], conv_id
+        assert f["turns_extracted"] == s["ext"], conv_id
+        assert f["chars_extracted"] == s["chars"], conv_id
+        assert f["max_turn_idx"] == s["max"], conv_id

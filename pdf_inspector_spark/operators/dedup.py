@@ -78,11 +78,12 @@ register("dedup_exact_stats", _sql(_EXACT_KEEP_SPARK), _EXACT_KEEP_DUCK,
 
 
 # -- MinHash + LSH ----------------------------------------------------------
-# 3-word shingles → 8 minhashes (seeded md5-60bit) → 4 bands × 2 rows →
-# candidate pairs sharing any band bucket.
+# 3-word shingles → ONE md5-60bit hash per shingle → 8 minhash
+# permutations via multiplicative mixing mod the Mersenne prime 2^31-1
+# (values stay < 2^36, safe under ANSI arithmetic; identical in both
+# engines) → 4 bands × 2 rows → candidate pairs sharing any band bucket.
 
-_SH_SPARK_H = SPARK_H64.format(x="concat(cast(j AS STRING), ':', s)")
-_SH_DUCK_H = DUCK_H64.format(x="j::VARCHAR || ':' || s")
+_MERS = 2147483647  # 2^31 - 1
 
 _MINHASH_SPARK = f"""
 WITH toks AS (
@@ -96,11 +97,17 @@ sh AS (
                             element_at(ts, i + 2)))) AS shingles
   FROM toks WHERE size(ts) >= 3
 ),
+hs AS (
+  SELECT doc_id,
+         transform(shingles, s -> {SPARK_H64.format(x='s')} % {_MERS}) AS hashes
+  FROM sh
+),
 mh AS (
   SELECT doc_id,
          transform(sequence(0, 7),
-             j -> array_min(transform(shingles, s -> {_SH_SPARK_H}))) AS mins
-  FROM sh
+             j -> array_min(transform(hashes,
+                 h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, b,
@@ -108,10 +115,7 @@ bands AS (
   FROM mh
   LATERAL VIEW explode(sequence(0, 3)) AS b
 )
-SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-FROM bands a JOIN bands c
-  ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
-ORDER BY doc_a, doc_b
+SELECT doc_id, b, bkey FROM bands
 """
 
 _MINHASH_DUCK = f"""
@@ -126,11 +130,17 @@ sh AS (
              i -> ts[i::int] || ' ' || ts[i::int + 1] || ' ' || ts[i::int + 2])) AS shingles
   FROM toks WHERE len(ts) >= 3
 ),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {DUCK_H64.format(x='s')} % {_MERS}) AS hashes
+  FROM sh
+),
 mh AS (
   SELECT doc_id,
          list_transform(range(0, 8),
-             j -> list_min(list_transform(shingles, s -> {_SH_DUCK_H}))) AS mins
-  FROM sh
+             j -> list_min(list_transform(hashes,
+                 h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, b,
@@ -143,9 +153,30 @@ FROM bands a JOIN bands c
 ORDER BY doc_a, doc_b
 """
 
-register("dedup_minhash_lsh", _sql(_MINHASH_SPARK), _MINHASH_DUCK,
-         "MinHash(8)+LSH(4 bands×2 rows) candidate pairs; band join shuffles "
-         "only (band, key, doc_id)")
+def _minhash_spark(spark, sf_dir: str):
+    """Materialize the band-signature table once (localCheckpoint) before
+    the self-join: without it Catalyst inlines the whole
+    shingle→hash→minhash subtree into BOTH join sides (~8× recompute).
+    At production scale the signature table is a persisted intermediate
+    for the same reason."""
+    import pyspark.sql.functions as F
+
+    from . import load_views
+    load_views(spark, sf_dir)
+    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
+    a, c = bands.alias("a"), bands.alias("c")
+    return (a.join(c, (F.col("a.b") == F.col("c.b"))
+                   & (F.col("a.bkey") == F.col("c.bkey"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"))
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
+register("dedup_minhash_lsh", _minhash_spark, _MINHASH_DUCK,
+         "MinHash(8)+LSH(4 bands×2 rows) candidate pairs; signature table "
+         "materialized once, band join shuffles only (band, key, doc_id)")
 
 
 # -- SimHash ----------------------------------------------------------------

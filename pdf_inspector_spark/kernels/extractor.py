@@ -58,9 +58,12 @@ def parse_simple_font_widths(doc: Document, font_dict: dict) -> FontWidthInfo | 
         code = first_char + i
         if code > last_char:
             break
-        w = _as_int(doc, w_obj)
-        if w is None:
-            continue
+        if type(w_obj) is int:  # fast path: plain integer width
+            w = w_obj
+        else:
+            w = _as_int(doc, w_obj)
+            if w is None:
+                continue
         if code == 32:
             space_width = w
         widths[code] = w
@@ -149,9 +152,19 @@ def parse_font_widths(doc: Document, font_dict: dict) -> FontWidthInfo | None:
 
 
 def build_font_widths(doc: Document, fonts: dict[str, dict]) -> dict[str, FontWidthInfo]:
+    """Per-document memoized: the same font dictionaries recur on every
+    page, so parse each once per document (cache keyed by dict identity,
+    stored on the Document — never leaves the executor)."""
+    cache = getattr(doc, "_width_cache", None)
+    if cache is None:
+        cache = doc._width_cache = {}
     out: dict[str, FontWidthInfo] = {}
     for name, fdict in fonts.items():
-        info = parse_font_widths(doc, fdict)
+        key = id(fdict)
+        if key in cache:
+            info = cache[key]
+        else:
+            info = cache[key] = parse_font_widths(doc, fdict)
         if info is not None:
             out[name] = info
     return out
@@ -206,9 +219,17 @@ def parse_font_encoding(doc: Document, font_dict: dict) -> dict[int, str] | None
 
 
 def build_font_encodings(doc: Document, fonts: dict[str, dict]) -> dict[str, dict[int, str]]:
+    """Per-document memoized (see build_font_widths)."""
+    cache = getattr(doc, "_enc_cache", None)
+    if cache is None:
+        cache = doc._enc_cache = {}
     out: dict[str, dict[int, str]] = {}
     for name, fdict in fonts.items():
-        m = parse_font_encoding(doc, fdict)
+        key = id(fdict)
+        if key in cache:
+            m = cache[key]
+        else:
+            m = cache[key] = parse_font_encoding(doc, fdict)
         if m is not None:
             out[name] = m
     return out

@@ -23,7 +23,7 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}.parquet")
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v2.parquet")
 
 
 def ensure_fixture_tables() -> tuple[str, str]:
@@ -34,7 +34,8 @@ def ensure_fixture_tables() -> tuple[str, str]:
         table = pa.Table.from_pylist(rows, schema=pa.schema([
             ("conv_id", pa.string()), ("turn_idx", pa.int32()),
             ("doc_id", pa.string()), ("pdf_type", pa.string()),
-            ("text", pa.string()), ("error_kind", pa.string()),
+            ("text", pa.string()), ("markdown", pa.string()),
+            ("error_kind", pa.string()),
         ]))
         os.makedirs(DATA_DIR, exist_ok=True)
         pq.write_table(table, EXPECTED_PATH, compression="zstd")
@@ -53,7 +54,7 @@ def _pipeline_result(spark: SparkSession):
         tpath, _ = ensure_fixture_tables()
         df = spark.read.parquet(tpath)
         _RESULT_CACHE[key] = with_turn_order(
-            run_pipeline(df, with_markdown=False, salt_buckets=8)).cache()
+            run_pipeline(df, with_markdown=True, salt_buckets=8)).cache()
     return _RESULT_CACHE[key]
 
 
@@ -77,6 +78,12 @@ def _quarantine_counts(spark: SparkSession, sf_dir: str):
             .groupBy("error_kind")
             .agg(F.count("*").alias("n_rows"))
             .orderBy("error_kind"))
+
+
+def _markdown_turns(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .select("conv_id", "turn_idx", "markdown")
+            .orderBy("conv_id", "turn_idx"))
 
 
 def _turn_rank(spark: SparkSession, sf_dir: str):
@@ -110,6 +117,11 @@ def _register_all() -> None:
         ORDER BY conv_id, turn_idx
     """, "per-turn extracted text — the byte-equality contract "
          "(window-ordered on conv_id, turn_idx)")
+
+    register("pi_markdown_turns", _markdown_turns, f"""
+        SELECT conv_id, turn_idx, markdown FROM {exp}
+        ORDER BY conv_id, turn_idx
+    """, "per-turn markdown — structure-stage equality contract")
 
     register("pi_quarantine_counts", _quarantine_counts, f"""
         SELECT error_kind, COUNT(*) AS n_rows FROM {exp}

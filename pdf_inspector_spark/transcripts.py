@@ -188,7 +188,7 @@ def expected_turns(scale: str) -> list[dict]:
             out.append({
                 "conv_id": conv_id, "turn_idx": t, "doc_id": doc_id,
                 "pdf_type": e["pdf_type"], "text": e["text"],
-                "error_kind": e["error_kind"],
+                "markdown": e["markdown"], "error_kind": e["error_kind"],
             })
     return out
 

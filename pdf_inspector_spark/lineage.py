@@ -15,6 +15,13 @@ idempotent — rerunning a half-written wave replaces its partitions.
 
 The reference has no equivalent (single-process library); this layer is
 what makes the pipeline restartable at 10^12-turn scale.
+
+Scale note: locally each wave re-scans the input and filters on the
+computed bucket column (no pushdown for a derived hash). On a real
+deployment the input table should be PARTITIONED OR BUCKETED on the same
+``pmod(xxhash64(conv_id, turn_idx), K)`` expression (Iceberg bucket
+transform / Spark bucketBy), which turns the wave filter into partition
+pruning and removes the re-scan amplification.
 """
 
 from __future__ import annotations

@@ -160,6 +160,38 @@ register("text_token_counts", _sql(_TOKENS_SPARK), _TOKENS_DUCK,
          "whitespace tokenization + per-source aggregation")
 
 
+# BPE-ish tokenization: a GPT-2-style pre-tokenizer regex (contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs). Both Java
+# regex (Spark) and RE2 (DuckDB) support \p{L}/\p{N} with identical
+# match semantics for this pattern.
+_BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# Spark SQL string literals process backslash escapes → double them;
+# DuckDB literals are raw but need the leading quote doubled.
+_BPE_SPARK_LIT = _BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+_BPE_DUCK_LIT = _BPE_PATTERN.replace("'", "''")
+
+_BPE_SPARK = f"""
+SELECT doc_id,
+       size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_ws_tokens,
+       size(regexp_extract_all(text, '{_BPE_SPARK_LIT}', 0)) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+_BPE_DUCK = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_DUCK_LIT}')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+register("text_bpe_tokens", _sql(_BPE_SPARK), _BPE_DUCK,
+         "BPE-ish pre-tokenizer counts (GPT-2-style regex) per document")
+
+
 # -- rolling-hash fingerprint ----------------------------------------------
 # Winnowing-lite: hash every 8-char window at stride 4, keep the minimum.
 

@@ -92,6 +92,20 @@ def _turn_rank(spark: SparkSession, sf_dir: str):
             .orderBy("conv_id", "turn_idx"))
 
 
+def _dedup_extracted(spark: SparkSession, sf_dir: str):
+    """Composition: extraction output → exact dedup of turn texts
+    (the training-data pipeline pattern: extract, then dedup downstream
+    on DERIVED text, never on raw payloads)."""
+    return (_pipeline_result(spark)
+            .where(F.col("text_out").isNotNull())
+            .groupBy(F.md5(F.col("text_out")).alias("text_md5"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min(F.concat_ws(":", "conv_id",
+                                   F.col("turn_idx").cast("string")))
+                 .alias("keeper_turn"))
+            .orderBy("text_md5"))
+
+
 def _routing_selectivity(spark: SparkSession, sf_dir: str):
     return (_pipeline_result(spark)
             .agg(F.count("*").alias("n_turns"),
@@ -135,6 +149,15 @@ def _register_all() -> None:
                  AS turn_rank
         FROM {exp} ORDER BY conv_id, turn_idx
     """, "stable turn-ordering contract: row_number over (conv_id, turn_idx)")
+
+    register("pi_dedup_extracted_turns", _dedup_extracted, f"""
+        SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+               MIN(conv_id || ':' || turn_idx::VARCHAR) AS keeper_turn
+        FROM {exp}
+        WHERE text IS NOT NULL
+        GROUP BY md5(text)
+        ORDER BY text_md5
+    """, "extraction → exact dedup composition over derived turn texts")
 
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,

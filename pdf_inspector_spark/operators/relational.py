@@ -193,3 +193,22 @@ ORDER BY returnflag, linestatus
 register("rel_rollup_lineitem", _sql(_ROLLUP), _ROLLUP,
          "ROLLUP multi-level aggregation (engine capability beyond the "
          "reference's per-document folds)")
+
+
+# -- as-of join idiom -------------------------------------------------------
+# For every event, the timestamp of the user's most recent prior 'click'
+# event — the as-of join expressed as a running window (no join at all;
+# at scale this beats a range join because it's one sort per user).
+
+_ASOF = """
+SELECT event_id, user_id, ts,
+       MAX(CASE WHEN event_type = 'click' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_click_ts
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+register("rel_asof_last_event", _sql(_ASOF), _ASOF,
+         "as-of join via running window: latest prior click per user")

@@ -533,6 +533,133 @@ def _malformed() -> bytes:
     return b"\x00\xff\xfe garbage bytes not pdf structure \x01\x02" * 16
 
 
+def _rotated_text() -> bytes:
+    """90°-rotated Tm (b=1, c=-1): effective size from row norms
+    (src/extractor.rs:1791-1800); interpreter must stay numerically sane."""
+    content = (b"BT /F1 12 Tf 0 1 -1 0 300 100 Tm (Rotated sideways text) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Normal line one here) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 684 Tm (Normal line two here) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 668 Tm (Normal line three here) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
+def _contents_array() -> bytes:
+    """Page /Contents as an ARRAY of two streams — concatenated before
+    interpretation (reference: lopdf get_page_content merges)."""
+    c1 = b"BT /F1 12 Tf 72 700 Td (First stream text) Tj ET"
+    c2 = (b"BT /F1 12 Tf 72 684 Td (Second stream text) Tj ET\n"
+          b"BT /F1 12 Tf 72 668 Td (Also second stream) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               b"/Contents [4 0 R 6 0 R] /Resources << /Font << /F1 5 0 R >> >> >>")
+    objs[4] = _stream_obj(b"<< >>", c1)
+    objs[5] = _HELV_FONT
+    objs[6] = _stream_obj(b"<< >>", c2, compress=True)
+    return build_pdf(objs)
+
+
+def _type3_font() -> bytes:
+    """Type3 font with FontMatrix [0.01 …] → units_scale 0.01 (glyph
+    widths in a 100-unit grid; src/extractor.rs:162-179)."""
+    widths = b" ".join(b"25" if c == 32 else b"50" for c in range(32, 127))
+    content = (b"BT /F1 12 Tf 72 700 Td (Type three glyphs) Tj ET\n"
+               b"BT /F1 12 Tf 72 684 Td (second line of text) Tj ET\n"
+               b"BT /F1 12 Tf 72 668 Td (third line follows) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = (b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.01 0 0 0.01 0 0] "
+               b"/FirstChar 32 /LastChar 126 /Widths [" + widths + b"] "
+               b"/CharProcs << >> /Encoding /WinAnsiEncoding >>")
+    return build_pdf(objs)
+
+
+def _nested_form() -> bytes:
+    """Form XObject whose content invokes ANOTHER form via Do: the
+    reference's form mini-interpreter does not recurse (no Do handling,
+    src/extractor.rs:1435-1626) — inner text must NOT appear. Pins the
+    one-level-nesting parity."""
+    inner = _stream_obj(
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 100 20] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"BT /F1 10 Tf 0 0 Td (INNER SHOULD NOT APPEAR) Tj ET")
+    outer = _stream_obj(
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+        b"/Resources << /Font << /F1 5 0 R >> /XObject << /In1 7 0 R >> >> >>",
+        b"BT /F1 10 Tf 10 10 Td (Outer form text) Tj ET /In1 Do")
+    # ≥3 page-level Tj ops so the detector's page-stream scan (which,
+    # like the reference, does not look inside XObjects) stays TextBased.
+    content = (b"BT /F1 12 Tf 72 700 Td (Page level text) Tj ET\n"
+               b"BT /F1 12 Tf 72 684 Td (More page level text) Tj ET\n"
+               b"q 1 0 0 1 100 600 cm /Fm1 Do Q\n"
+               b"BT /F1 12 Tf 72 500 Td (After the forms) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = _HELV_FONT
+    objs[6] = outer
+    objs[7] = inner
+    return build_pdf(objs)
+
+
+def _toc_page() -> bytes:
+    """Dot-leader TOC lines: table rejection (src/tables.rs:618-664) +
+    collapse_dot_leaders in cleanup (src/markdown.rs:1386-1391)."""
+    lines = [
+        (72.0, 720.0, 16.0, b"Table of Contents"),
+        (72.0, 690.0, 12.0, b"Introduction ................................ 1"),
+        (72.0, 674.0, 12.0, b"Methods ..................................... 5"),
+        (72.0, 658.0, 12.0, b"Results ..................................... 12"),
+        (72.0, 642.0, 12.0, b"Discussion .................................. 20"),
+        (72.0, 626.0, 12.0, b"References .................................. 31"),
+    ]
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", _text_ops(lines))
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
+def _drop_cap() -> bytes:
+    """Single 36pt uppercase letter + lowercase paragraph → merged
+    (src/markdown.rs:950-1027)."""
+    # The lowercase continuation line comes FIRST in stream order and the
+    # oversized cap is a separate line at its own y (the reference notes
+    # the drop cap may appear after its line, src/markdown.rs:894-896).
+    lines = [
+        (100.0, 700.0, 12.0, b"nce upon a time the body text began"),
+        (72.0, 692.0, 36.0, b"O"),
+        (72.0, 684.0, 12.0, b"and continued on the following line"),
+        (72.0, 668.0, 12.0, b"with a third line to set the base size"),
+        (72.0, 652.0, 12.0, b"and one final line of the paragraph"),
+    ]
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", _text_ops(lines))
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
+def _hyphen_caption() -> bytes:
+    """Spaced-hyphen fix (src/markdown.rs:1395-1411) + caption lines
+    (src/markdown.rs:1173-1214) + URL auto-linking (:1515-1620)."""
+    lines = [
+        (72.0, 700.0, 12.0, b"The state - of - the art approach works"),
+        (72.0, 684.0, 12.0, b"Figure 3: throughput by executor count"),
+        (72.0, 668.0, 12.0, b"See https://example.org/bench for data"),
+        (72.0, 652.0, 12.0, b"Source: internal measurements 2024"),
+    ]
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", _text_ops(lines))
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
 def build_corpus() -> list[CorpusEntry]:
     """The full deterministic corpus, in a stable order."""
     return [
@@ -582,6 +709,20 @@ def build_corpus() -> list[CorpusEntry]:
                     "CJK no-space join (src/extractor.rs:704-707,795-800)"),
         CorpusEntry("malformed", _malformed(), None,
                     "error/quarantine channel (src/lib.rs:135-145)"),
+        CorpusEntry("rotated_text", _rotated_text(), "text_based",
+                    "rotated Tm / effective size norms (src/extractor.rs:1791-1800)"),
+        CorpusEntry("contents_array", _contents_array(), "text_based",
+                    "/Contents array of streams (incl. Flate second stream)"),
+        CorpusEntry("type3_font", _type3_font(), "text_based",
+                    "Type3 FontMatrix units_scale (src/extractor.rs:162-179)"),
+        CorpusEntry("nested_form", _nested_form(), "text_based",
+                    "one-level form nesting parity (src/extractor.rs:1435-1626)"),
+        CorpusEntry("toc_page", _toc_page(), "text_based",
+                    "TOC rejection + dot-leader collapse (src/tables.rs:618, src/markdown.rs:1386)"),
+        CorpusEntry("drop_cap", _drop_cap(), "text_based",
+                    "drop-cap merge (src/markdown.rs:950-1027)"),
+        CorpusEntry("hyphen_caption", _hyphen_caption(), "text_based",
+                    "hyphenation fix + captions + URL links (src/markdown.rs:1173-1620)"),
     ]
 
 

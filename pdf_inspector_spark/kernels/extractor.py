@@ -517,12 +517,18 @@ def effective_font_size(base_size: float, tm) -> float:
 # Text decode cascade (src/extractor.rs:1854-1957)
 # --------------------------------------------------------------------------
 
+import re as _re
+
+_CTRL_RE = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_LIG_RE = _re.compile("[ﬀﬁﬂﬃﬄ]")
+
+
 def expand_ligatures(text: str) -> str:
     """Strip control chars (keep \\n \\r \\t); expand U+FB00–FB04
     (src/extractor.rs:1961-1987)."""
-    if any(ord(c) < 0x20 and c not in "\n\r\t" for c in text):
-        text = "".join(c for c in text if c >= " " or c in "\n\r\t")
-    if not any(c in text for c in "ﬀﬁﬂﬃﬄ"):
+    if _CTRL_RE.search(text):
+        text = _CTRL_RE.sub("", text)
+    if not _LIG_RE.search(text):
         return text
     return (text.replace("ﬀ", "ff").replace("ﬁ", "fi")
             .replace("ﬂ", "fl").replace("ﬃ", "ffi")

@@ -109,3 +109,31 @@ def test_specific_behaviors():
     for p in range(1, 8):
         assert f"Page {p} headline" in mp
     assert results["multipage_7"]["page_count"] == 7
+
+    # rotated text extracted without numeric blowup
+    assert "Rotated sideways text" in results["rotated_text"]["text"]
+
+    # /Contents array: both streams interpreted, in order
+    ca = results["contents_array"]["text"]
+    assert ca.index("First stream") < ca.index("Second stream")
+
+    # Type3 FontMatrix: items extracted with sane positions
+    assert "Type three glyphs" in results["type3_font"]["text"]
+
+    # one-level form nesting parity: inner form text must NOT appear
+    nf = results["nested_form"]["text"]
+    assert "Outer form text" in nf
+    assert "INNER SHOULD NOT APPEAR" not in nf
+
+    # TOC: no table detected, dot leaders collapsed in markdown
+    assert "|" not in results["toc_page"]["markdown"]
+    assert " ... " in results["toc_page"]["markdown"]
+
+    # drop cap merged into the paragraph
+    assert results["drop_cap"]["markdown"].startswith("Once upon a time")
+
+    # hyphenation fixed, caption isolated, URL auto-linked
+    hc = results["hyphen_caption"]["markdown"]
+    assert "state-of-the" in hc
+    assert "[https://example.org/bench](https://example.org/bench)" in hc
+    assert "Figure 3: throughput by executor count\n\n" in hc

@@ -495,6 +495,20 @@ class Operation:
 
 _OPERATOR_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 
+# Master tokenizer for content streams: one C-level scan classifies
+# integers, reals, names and operators; structured tokens ('(', '<', '[',
+# ']') drop to the object lexer. Group order = test order.
+_CONTENT_TOKEN_RE = re.compile(
+    rb"(?:"
+    rb"(?P<ws>[\x00\t\n\x0b\x0c\r ]+)"
+    rb"|(?P<int>[+-]?\d+(?![\d.]))"
+    rb"|(?P<real>[+-]?\d*\.\d*)"
+    rb"|(?P<name>/[^\x00\t\n\x0b\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\s()<>\[\]{}/%]+)"
+    rb"|(?P<struct>[(<\[\]])"
+    rb"|(?P<other>.)"
+    rb")", re.DOTALL)
+
 
 def decode_content(data: bytes) -> list[Operation]:
     """Decode a content stream into a list of operations."""
@@ -502,38 +516,53 @@ def decode_content(data: bytes) -> list[Operation]:
     operands: list[Any] = []
     lex = _Lexer(data)
     n = lex.n
-    while True:
-        lex._skip_ws()
-        if lex.pos >= n:
-            break
-        c = data[lex.pos]
-        if c in b"/(<[":
+    pos = 0
+    scan = _CONTENT_TOKEN_RE.match
+    while pos < n:
+        m = scan(data, pos)
+        kind = m.lastgroup
+        if kind == "ws":
+            pos = m.end()
+            continue
+        if kind == "int":
+            operands.append(int(m.group()))
+            pos = m.end()
+            continue
+        if kind == "real":
+            try:
+                operands.append(float(m.group().decode("ascii")))
+            except ValueError:
+                pass
+            pos = m.end()
+            continue
+        if kind == "struct":
+            lex.pos = pos
             try:
                 operands.append(lex.parse_object())
             except (ValueError, IndexError):
-                lex.pos += 1
+                lex.pos = pos + 1
+            pos = lex.pos
             continue
-        m = _OPERATOR_RE.match(data, lex.pos)
-        if not m:
-            lex.pos += 1
+        if m.group() == b"%":  # comment: skip to end of line
+            j = data.find(b"\n", pos)
+            pos = n if j == -1 else j + 1
             continue
-        tok = m.group(0)
-        lex.pos = m.end()
-        # number?
-        try:
-            if b"." in tok:
-                operands.append(float(tok.decode("ascii")))
-                continue
-            if tok.lstrip(b"+-").isdigit():
-                operands.append(int(tok))
-                continue
-        except (ValueError, UnicodeDecodeError):
-            pass
+        if kind == "name":
+            lex.pos = pos
+            operands.append(lex.parse_object())
+            pos = lex.pos
+            continue
+        if kind == "other":
+            pos = m.end()
+            continue
+        # operator token
+        tok = m.group()
+        pos = m.end()
         op = tok.decode("latin-1")
         if op == "BI":
             # inline image: skip to EI
-            j = data.find(b"EI", lex.pos)
-            lex.pos = n if j == -1 else j + 2
+            j = data.find(b"EI", pos)
+            pos = n if j == -1 else j + 2
             operands = []
             continue
         ops.append(Operation(op, operands))

@@ -23,7 +23,7 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v3.parquet")
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v4.parquet")
 
 
 def ensure_fixture_tables() -> tuple[str, str]:
@@ -35,7 +35,7 @@ def ensure_fixture_tables() -> tuple[str, str]:
             ("conv_id", pa.string()), ("turn_idx", pa.int32()),
             ("doc_id", pa.string()), ("pdf_type", pa.string()),
             ("text", pa.string()), ("markdown", pa.string()),
-            ("error_kind", pa.string()),
+            ("error_kind", pa.string()), ("n_spans", pa.int32()),
         ]))
         os.makedirs(DATA_DIR, exist_ok=True)
         pq.write_table(table, EXPECTED_PATH, compression="zstd")
@@ -89,6 +89,13 @@ def _markdown_turns(spark: SparkSession, sf_dir: str):
 def _turn_rank(spark: SparkSession, sf_dir: str):
     return (_pipeline_result(spark)
             .select("conv_id", "turn_idx", "turn_rank")
+            .orderBy("conv_id", "turn_idx"))
+
+
+def _span_counts(spark: SparkSession, sf_dir: str):
+    return (_pipeline_result(spark)
+            .select("conv_id", "turn_idx",
+                    F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"))
             .orderBy("conv_id", "turn_idx"))
 
 
@@ -149,6 +156,11 @@ def _register_all() -> None:
                  AS turn_rank
         FROM {exp} ORDER BY conv_id, turn_idx
     """, "stable turn-ordering contract: row_number over (conv_id, turn_idx)")
+
+    register("pi_span_counts", _span_counts, f"""
+        SELECT conv_id, turn_idx, n_spans FROM {exp}
+        ORDER BY conv_id, turn_idx
+    """, "per-turn span counts — span-output coverage of the contract")
 
     register("pi_dedup_extracted_turns", _dedup_extracted, f"""
         SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,

@@ -191,6 +191,7 @@ def expected_turns(scale: str) -> list[dict]:
                 "conv_id": conv_id, "turn_idx": t, "doc_id": doc_id,
                 "pdf_type": e["pdf_type"], "text": e["text"],
                 "markdown": e["markdown"], "error_kind": e["error_kind"],
+                "n_spans": len(e["spans"]) if e["spans"] is not None else 0,
             })
     return out
 

@@ -17,11 +17,44 @@ from __future__ import annotations
 
 import os
 import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor-python workers (the local-mode
+    equivalent of ``spark-submit --py-files``). Without this, a driver
+    session created from a different cwd cannot unpickle the UDFs on
+    executors."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.join(REPO_ROOT, "pdf_inspector_spark")
+    zip_path = os.path.join(REPO_ROOT, "data", "pdf_inspector_spark.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    srcs = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                srcs.append(os.path.join(root, f))
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for s in sorted(srcs):
+                zf.write(s, os.path.relpath(s, REPO_ROOT))
+        os.replace(zip_path + ".tmp", zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+    _SHIPPED.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pdf_inspector_spark.operators.extraction import ensure_fixture_tables
     from pdf_inspector_spark.pipeline import run_pipeline, with_turn_order
 
+    _ensure_shipped(spark)
     tpath, _ = ensure_fixture_tables()
     df = spark.read.parquet(tpath)
     return (with_turn_order(run_pipeline(df, with_markdown=True,
@@ -39,7 +73,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_inspector_spark.operators import all_operators
-    return {name: op.spark for name, op in sorted(all_operators().items())}
+
+    def shipped(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: shipped(op.spark)
+            for name, op in sorted(all_operators().items())}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,6 +25,7 @@ def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
     - shuffle.partitions ≈ 2×cores locally; on a cluster, size to
       target ~128MB-of-derived-columns per task, not payload bytes.
     """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -42,6 +43,9 @@ def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # executor-python workers must import this package regardless of
+        # the launch cwd (spark-submit --py-files equivalent for local)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

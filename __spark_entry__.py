@@ -84,7 +84,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for name, op in sorted(all_operators().items())}
 
 
+def _materialize_oracle_inputs() -> None:
+    """The oracle SQL reads fixture/media parquet via absolute paths —
+    make sure they exist before DuckDB runs."""
+    from pdf_inspector_spark.media import write_media
+    from pdf_inspector_spark.operators.extraction import ensure_fixture_tables
+    ensure_fixture_tables()
+    write_media()
+
+
 def oracle_sql() -> dict[str, str]:
     from pdf_inspector_spark.operators import all_operators
+    _materialize_oracle_inputs()
     return {name: op.oracle for name, op in sorted(all_operators().items())
             if op.oracle is not None}

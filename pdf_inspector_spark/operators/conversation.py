@@ -13,14 +13,16 @@ Oracle: DuckDB string_agg over the kernel-fixture parquet.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
-
 import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import SparkSession
 
 from . import register
-from .extraction import EXPECTED_PATH, _pipeline_result, ensure_fixture_tables
+
+# NOTE: `.extraction` is imported lazily inside the functions below.
+# `_assemble_group` is pickled to executors by applyInPandas; a module-
+# level import would run extraction's fixture registration ON EXECUTORS
+# (inside the shipped zip, where the data dir doesn't exist).
 
 ASSEMBLY_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
@@ -45,6 +47,7 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _assemble(spark: SparkSession, sf_dir: str):
+    from .extraction import _pipeline_result
     result = _pipeline_result(spark)
     return (result.select("conv_id", "turn_idx", "text_out")
             .groupBy("conv_id")
@@ -53,7 +56,8 @@ def _assemble(spark: SparkSession, sf_dir: str):
 
 
 def _register() -> None:
-    ensure_fixture_tables()
+    # Pure registration (no filesystem writes) — runs on executor import.
+    from .extraction import EXPECTED_PATH
     register("conv_assemble_docs", _assemble, f"""
         SELECT conv_id,
                COUNT(*)::INT AS n_turns,

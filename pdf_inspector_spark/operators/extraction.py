@@ -125,7 +125,10 @@ def _routing_selectivity(spark: SparkSession, sf_dir: str):
 
 
 def _register_all() -> None:
-    ensure_fixture_tables()
+    # Registration is PURE (no filesystem writes): this module is imported
+    # on executors when grouped-map functions unpickle, where the repo data
+    # dir does not exist. Oracle inputs are materialized at contract-call
+    # time (__spark_entry__.oracle_sql / the query functions themselves).
     exp = f"read_parquet('{EXPECTED_PATH}')"
 
     register("pi_classify_counts", _classify_counts, f"""

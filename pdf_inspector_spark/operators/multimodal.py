@@ -71,7 +71,10 @@ def _features_spark(spark: SparkSession, sf_dir: str):
 
 
 def _register() -> None:
-    path = write_media()  # oracle SQL needs the file on disk
+    import os
+
+    from ..transcripts import DATA_DIR
+    path = os.path.join(DATA_DIR, "media_2000.parquet")  # written on demand
     register("mm_media_stats", _stats_spark,
              _STATS_DUCK.replace("FROM media",
                                  f"FROM read_parquet('{path}')"),

@@ -328,7 +328,13 @@ class Document:
                 continue
             # Later definitions win (incremental updates append).
             doc.objects[num] = obj
-        # trailer dict(s) — last wins
+        # Expand object streams (ObjStm): modern PDFs store most objects
+        # compressed inside container streams. Direct definitions win.
+        for container in list(doc.objects.values()):
+            if (isinstance(container, Stream)
+                    and container.dict.get("Type") == "ObjStm"):
+                doc._expand_objstm(container)
+        # trailer dict(s) — last wins; XRef streams carry trailer keys too
         for m in _TRAILER_RE.finditer(buf):
             lex = _Lexer(buf, m.end())
             try:
@@ -338,7 +344,15 @@ class Document:
             if isinstance(t, dict):
                 doc.trailer.update(t)
         if "Root" not in doc.trailer:
-            # xref-stream PDFs: find a catalog object
+            for obj in doc.objects.values():
+                if (isinstance(obj, Stream)
+                        and obj.dict.get("Type") == "XRef"
+                        and "Root" in obj.dict):
+                    doc.trailer.update({k: v for k, v in obj.dict.items()
+                                        if k in ("Root", "Info", "Encrypt")})
+                    break
+        if "Root" not in doc.trailer:
+            # last resort: find a catalog object
             for num, obj in doc.objects.items():
                 d = obj.dict if isinstance(obj, Stream) else obj
                 if isinstance(d, dict) and d.get("Type") == "Catalog":
@@ -349,6 +363,33 @@ class Document:
         if doc.trailer.get("Encrypt") is not None:
             raise ValueError("PDF is encrypted")
         return doc
+
+    def _expand_objstm(self, container: Stream) -> None:
+        """Extract objects packed in an ObjStm (PDF 1.5+): header of N
+        (objnum, offset) integer pairs, objects start at /First."""
+        n = container.dict.get("N")
+        first = container.dict.get("First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            return
+        try:
+            data = container.decompressed()
+        except Exception:  # noqa: BLE001
+            return
+        header = data[:first].split()
+        pairs: list[tuple[int, int]] = []
+        for i in range(0, min(len(header) - 1, 2 * n - 1), 2):
+            try:
+                pairs.append((int(header[i]), int(header[i + 1])))
+            except ValueError:
+                return
+        for num, off in pairs:
+            if num in self.objects:
+                continue  # direct definitions take precedence
+            lex = _Lexer(data, first + off)
+            try:
+                self.objects[num] = lex.parse_object()
+            except (ValueError, IndexError, RecursionError):
+                continue
 
     # -- resolution ------------------------------------------------------
 

@@ -644,6 +644,41 @@ def _drop_cap() -> bytes:
     return build_pdf(objs)
 
 
+def _objstm() -> bytes:
+    """Catalog/pages/page/font packed in a compressed object stream
+    (PDF 1.5 ObjStm) — the modern layout both real-world toolchains in
+    tests/test_real_pdfs.py produce."""
+    inner_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, _HELV_FONT),
+    ]
+    bodies = []
+    header = []
+    off = 0
+    for num, body in inner_objs:
+        header.append(f"{num} {off}".encode())
+        bodies.append(body)
+        off += len(body) + 1
+    header_bytes = b" ".join(header) + b"\n"
+    payload = header_bytes + b" ".join(bodies) + b" "
+    first = len(header_bytes)
+    content = _text_ops([
+        (72.0, 700.0, 12.0, b"Object stream layout works"),
+        (72.0, 684.0, 12.0, b"objects live inside ObjStm"),
+        (72.0, 668.0, 12.0, b"classic and modern coexist"),
+    ])
+    objs = {
+        4: _stream_obj(b"<< >>", content),
+        10: _stream_obj(
+            f"<< /Type /ObjStm /N {len(inner_objs)} /First {first} >>".encode(),
+            payload, compress=True),
+    }
+    return build_pdf(objs)
+
+
 def _hyphen_caption() -> bytes:
     """Spaced-hyphen fix (src/markdown.rs:1395-1411) + caption lines
     (src/markdown.rs:1173-1214) + URL auto-linking (:1515-1620)."""
@@ -723,6 +758,8 @@ def build_corpus() -> list[CorpusEntry]:
                     "drop-cap merge (src/markdown.rs:950-1027)"),
         CorpusEntry("hyphen_caption", _hyphen_caption(), "text_based",
                     "hyphenation fix + captions + URL links (src/markdown.rs:1173-1620)"),
+        CorpusEntry("objstm", _objstm(), "text_based",
+                    "PDF 1.5 object-stream layout (ObjStm expansion)"),
     ]
 
 

@@ -23,7 +23,7 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v4.parquet")
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v5.parquet")
 
 
 def ensure_fixture_tables() -> tuple[str, str]:

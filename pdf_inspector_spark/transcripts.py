@@ -51,7 +51,7 @@ _TEXT_IDS = [
     "two_column", "table_small_font", "table_body_font", "para_not_table",
     "lists_code", "links_annots", "page_numbers", "cjk_text",
     "rotated_text", "contents_array", "type3_font", "nested_form",
-    "toc_page", "drop_cap", "hyphen_caption",
+    "toc_page", "drop_cap", "hyphen_caption", "objstm",
 ]
 
 

@@ -695,6 +695,23 @@ def _hyphen_caption() -> bytes:
     return build_pdf(objs)
 
 
+def _inline_image() -> bytes:
+    """Inline image (BI … ID <binary> EI) between text operators: the
+    interpreter skips it (like the reference, whose operator match has
+    no BI case) without corrupting surrounding text."""
+    content = (b"BT /F1 12 Tf 72 700 Td (Before inline image) Tj ET\n"
+               b"BI /W 4 /H 4 /CS /G /BPC 8 ID "
+               b"\x00\x11\x22\x33\x44\x55\x66\x77\x88\x99\xaa\xbb\xcc\xdd\xee\xff"
+               b" EI\n"
+               b"BT /F1 12 Tf 72 684 Td (After inline image) Tj ET\n"
+               b"BT /F1 12 Tf 72 668 Td (Third line of text) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
 def build_corpus() -> list[CorpusEntry]:
     """The full deterministic corpus, in a stable order."""
     return [
@@ -760,6 +777,8 @@ def build_corpus() -> list[CorpusEntry]:
                     "hyphenation fix + captions + URL links (src/markdown.rs:1173-1620)"),
         CorpusEntry("objstm", _objstm(), "text_based",
                     "PDF 1.5 object-stream layout (ObjStm expansion)"),
+        CorpusEntry("inline_image", _inline_image(), "text_based",
+                    "BI/ID/EI inline image skipped, text around it kept"),
     ]
 
 

@@ -212,3 +212,29 @@ ORDER BY user_id, ts, event_id
 
 register("rel_asof_last_event", _sql(_ASOF), _ASOF,
          "as-of join via running window: latest prior click per user")
+
+
+# -- exact median via window ranks (identical arithmetic both engines) ------
+
+_MEDIAN = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE)
+         AS median_price,
+       MAX(cnt) AS n_orders
+FROM ranked
+WHERE rn IN (CAST(FLOOR((cnt + 1) / 2) AS BIGINT),
+             CAST(FLOOR((cnt + 2) / 2) AS BIGINT))
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+register("rel_median_order_value", _sql(_MEDIAN), _MEDIAN,
+         "exact per-customer median via window ranks (engine-identical "
+         "integer rank arithmetic, decimal averaging)")

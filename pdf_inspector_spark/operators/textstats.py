@@ -192,6 +192,54 @@ register("text_bpe_tokens", _sql(_BPE_SPARK), _BPE_DUCK,
          "BPE-ish pre-tokenizer counts (GPT-2-style regex) per document")
 
 
+# -- trigram-profile language ID -------------------------------------------
+# Character-n-gram heuristic: score = how many of the text's character
+# trigrams appear in a fixed per-language profile (top English / Spanish
+# trigrams). Pure array expressions in both engines.
+
+_EN_TRIGRAMS = ("('the',' th','he ','ing','nd ',' an','and',' of','of ','ed ',"
+                "'to ',' to','er ',' in','ion','ati',' co','ent')")
+_ES_TRIGRAMS = ("('de ',' de','os ','la ',' la','el ',' el','es ','ión','ció',"
+                "'ent','en ',' en','ar ','ado','que',' qu','ue ')")
+
+_TRIGRAM_SPARK = f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         transform(sequence(1, greatest(length(text) - 2, 1)),
+                   i -> substring(lower(text), i, 3)) AS tg
+  FROM documents
+)
+SELECT doc_id, lang,
+       size(filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
+       size(filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits,
+       CASE WHEN size(filter(tg, g -> g IN {_EN_TRIGRAMS}))
+                 >= size(filter(tg, g -> g IN {_ES_TRIGRAMS}))
+            THEN 'en' ELSE 'es' END AS pred_lang
+FROM grams
+ORDER BY doc_id
+"""
+
+_TRIGRAM_DUCK = f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                        i -> substr(lower(text), i::int, 3)) AS tg
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(list_filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
+       len(list_filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits,
+       CASE WHEN len(list_filter(tg, g -> g IN {_EN_TRIGRAMS}))
+                 >= len(list_filter(tg, g -> g IN {_ES_TRIGRAMS}))
+            THEN 'en' ELSE 'es' END AS pred_lang
+FROM grams
+ORDER BY doc_id
+"""
+
+register("text_langid_trigram", _sql(_TRIGRAM_SPARK), _TRIGRAM_DUCK,
+         "character-trigram-profile language ID (n-gram heuristic)")
+
+
 # -- rolling-hash fingerprint ----------------------------------------------
 # Winnowing-lite: hash every 8-char window at stride 4, keep the minimum.
 

@@ -113,6 +113,28 @@ def _dedup_extracted(spark: SparkSession, sf_dir: str):
             .orderBy("text_md5"))
 
 
+def _quality_extracted(spark: SparkSession, sf_dir: str):
+    """Composition: extraction → integer quality score over the DERIVED
+    turn text (same formula as text_quality_score, applied downstream of
+    the pipeline instead of to raw documents)."""
+    r = _pipeline_result(spark).where(F.col("text_out").isNotNull())
+    n_chars = F.length("text_out")
+    n_tokens = F.size(F.filter(F.split(F.col("text_out"), r"\s+"),
+                               lambda x: x != ""))
+    n_punct = n_chars - F.length(F.regexp_replace("text_out", "[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace("text_out", "[A-Z]", ""))
+    score = (
+        F.when(n_tokens >= 50, 40).otherwise((n_tokens * 40) / F.lit(50)).cast("long")
+        + F.when((n_tokens > 0) & (n_chars * 10).between(n_tokens * 30, n_tokens * 80), 30).otherwise(0)
+        + F.when(n_punct * 10 <= n_chars, 20).otherwise(0)
+        + F.when(n_upper * 5 <= n_chars, 10).otherwise(0))
+    return (r.select("conv_id", "turn_idx",
+                     n_chars.alias("n_chars"),
+                     n_tokens.alias("n_tokens"),
+                     score.alias("quality_score"))
+            .orderBy("conv_id", "turn_idx"))
+
+
 def _routing_selectivity(spark: SparkSession, sf_dir: str):
     return (_pipeline_result(spark)
             .agg(F.count("*").alias("n_turns"),
@@ -173,6 +195,27 @@ def _register_all() -> None:
         GROUP BY md5(text)
         ORDER BY text_md5
     """, "extraction → exact dedup composition over derived turn texts")
+
+    register("pi_quality_extracted", _quality_extracted, f"""
+        WITH feats AS (
+          SELECT conv_id, turn_idx,
+                 length(text) AS n_chars,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+          FROM {exp} WHERE text IS NOT NULL
+        )
+        SELECT conv_id, turn_idx, n_chars, n_tokens,
+               ((CASE WHEN n_tokens >= 50 THEN 40 ELSE n_tokens * 40 // 50 END)
+                + (CASE WHEN n_tokens > 0 AND n_chars * 10
+                         BETWEEN n_tokens * 30 AND n_tokens * 80 THEN 30 ELSE 0 END)
+                + (CASE WHEN n_punct * 10 <= n_chars THEN 20 ELSE 0 END)
+                + (CASE WHEN n_upper * 5 <= n_chars THEN 10 ELSE 0 END))::BIGINT
+                 AS quality_score
+        FROM feats
+        ORDER BY conv_id, turn_idx
+    """, "extraction → quality-score composition over derived turn text")
 
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,

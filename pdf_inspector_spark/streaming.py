@@ -126,6 +126,64 @@ def stream_conversation_progress(spark: SparkSession, input_dir: str,
     return query
 
 
+def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
+                                 output_dir: str, checkpoint_dir: str,
+                                 run_id: str = "stream",
+                                 await_termination: bool = True):
+    """Streaming extraction with the SAME lineage contract as the batch
+    path: each micro-batch lands idempotently (batch_id partition +
+    dynamic overwrite → replaying a batch after a crash replaces rather
+    than duplicates) and appends a lineage row with row/quarantine
+    counts and throughput."""
+    import os
+    import time
+
+    import pyspark.sql.functions as SF
+
+    from .pipeline import run_pipeline
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out_path = os.path.join(output_dir, "turns")
+    lineage_path = os.path.join(output_dir, "_lineage")
+    stream = read_transcripts_stream(spark, input_dir)
+    result = run_pipeline(stream, with_markdown=False)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            (batch_df
+             .withColumn("quarantined", SF.col("error_kind").isNotNull())
+             .withColumn("batch_id", SF.lit(batch_id))
+             .write.mode("overwrite")
+             .partitionBy("batch_id", "quarantined")
+             .parquet(out_path))
+            n_q = batch_df.where(SF.col("error_kind").isNotNull()).count()
+            elapsed = time.monotonic() - t0
+            (spark.createDataFrame(
+                [(run_id, int(batch_id), n, n - n_q, n_q,
+                  n / elapsed if elapsed > 0 else 0.0)],
+                "run_id string, batch_id long, rows_in long, rows_out long, "
+                "rows_quarantined long, turns_per_sec double")
+             .withColumn("completed_at", SF.current_timestamp())
+             .write.mode("append").parquet(lineage_path))
+        finally:
+            batch_df.unpersist()
+
+    query = (result.writeStream
+             .foreachBatch(write_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def stream_type_rates(spark: SparkSession, input_dir: str, output_dir: str,
                       checkpoint_dir: str, *,
                       window: str = "1 hour", watermark: str = "2 hours",

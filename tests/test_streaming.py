@@ -104,3 +104,42 @@ def test_stream_stateful_conversation_progress(spark, tsmall_path):
         assert f["turns_extracted"] == s["ext"], conv_id
         assert f["chars_extracted"] == s["chars"], conv_id
         assert f["max_turn_idx"] == s["max"], conv_id
+
+
+def test_stream_pipeline_with_lineage(spark, tsmall_path, tmp_path):
+    """foreachBatch sink: idempotent batch landing + lineage rows with
+    counts; rerun with no new data adds nothing."""
+    import os
+    import shutil
+
+    from pdf_inspector_spark.streaming import stream_pipeline_with_lineage
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(tsmall_path) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tsmall_path, parts[0]), src)
+    stream_pipeline_with_lineage(spark, src, out, ckpt, run_id="s1")
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    n1 = turns.count()
+    assert n1 > 0
+
+    # no new data → no growth, no new lineage rows
+    stream_pipeline_with_lineage(spark, src, out, ckpt, run_id="s1")
+    assert spark.read.parquet(os.path.join(out, "turns")).count() == n1
+    lineage1 = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lineage1.count() >= 1
+
+    # remaining files → full coverage, lineage counts add up
+    for p in parts[1:]:
+        shutil.copy(os.path.join(tsmall_path, p), src)
+    stream_pipeline_with_lineage(spark, src, out, ckpt, run_id="s1")
+    expected = expected_turns("t-small")
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    assert turns.count() == len(expected)
+    assert turns.select("conv_id", "turn_idx").distinct().count() == len(expected)
+    lineage = spark.read.parquet(os.path.join(out, "_lineage"))
+    total = lineage.agg(F.sum("rows_in")).collect()[0][0]
+    assert total == len(expected)
+    n_bad = sum(1 for e in expected if e["error_kind"] is not None)
+    assert lineage.agg(F.sum("rows_quarantined")).collect()[0][0] == n_bad

@@ -83,6 +83,15 @@ PROC_SCHEMA = T.StructType([
 # Vectorized UDF stages (Arrow-batched; kernels imported on the executor)
 # --------------------------------------------------------------------------
 
+
+def _payload_bytes(payload) -> bytes:
+    """Accept both contract shapes: latin-1-carried string (input_hint)
+    and raw binary columns."""
+    if isinstance(payload, (bytes, bytearray)):
+        return bytes(payload)
+    return payload.encode("latin-1")
+
+
 @F.pandas_udf(CLS_SCHEMA)
 def classify_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """Classification stage (SURVEY.md §2.2). Iterator form so the kernel
@@ -99,7 +108,7 @@ def classify_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
                     "confidence": 0.0, "ocr_recommended": False,
                     "error_kind": "NullPayload", "error_msg": "text is null"})
                 continue
-            r = classify_mem(payload.encode("latin-1"))
+            r = classify_mem(_payload_bytes(payload))
             rows.append({c: r[c] for c in cols})
         yield pd.DataFrame(rows, columns=cols)
 
@@ -120,7 +129,7 @@ def _extract_batch(batch: pd.Series, with_markdown: bool) -> pd.DataFrame:
                          "error_msg": "text is null"})
             continue
         try:
-            items = extract_text_with_positions_mem(payload.encode("latin-1"))
+            items = extract_text_with_positions_mem(_payload_bytes(payload))
             text, spans = items_to_text_and_spans(items)
             md = to_markdown_from_items(items) if with_markdown else None
             rows.append({"text_out": text, "spans": spans,
@@ -168,7 +177,7 @@ def _make_process_udf(with_markdown: bool):
                         "error_msg": "text is null",
                         "processing_time_ms": 0})
                     continue
-                r = process_pdf_mem(payload.encode("latin-1"),
+                r = process_pdf_mem(_payload_bytes(payload),
                                     with_markdown=with_markdown)
                 r["text_out"] = r.pop("text")
                 rows.append({c: r[c] for c in cols})

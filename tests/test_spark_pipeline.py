@@ -117,3 +117,29 @@ def test_kill_and_resume(spark, tsmall_path, tmp_path):
     per_bucket = lineage.groupBy("bucket").count().collect()
     assert len(per_bucket) == 8
     assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_binary_payload_column(spark, tmp_path):
+    """The pipeline accepts raw binary payload columns too (not just the
+    latin-1-carried string shape from input_hint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_inspector_spark.corpus import corpus_payloads
+    payloads = corpus_payloads()
+    rows = [("c-0", i, payloads[d])
+            for i, d in enumerate(["tj_basic", "scanned_only", "malformed"])]
+    table = pa.Table.from_pylist(
+        [{"conv_id": c, "turn_idx": t, "text": p} for c, t, p in rows],
+        schema=pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                          ("text", pa.binary())]))
+    path = str(tmp_path / "bin.parquet")
+    pq.write_table(table, path)
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["text"] == "binary"
+    out = {r["turn_idx"]: r for r in run_pipeline(
+        df, with_markdown=False).collect()}
+    assert out[0]["pdf_type"] == "text_based"
+    assert out[0]["text_out"].startswith("Hello World")
+    assert out[1]["pdf_type"] == "scanned"
+    assert out[2]["error_kind"] is not None

@@ -77,6 +77,8 @@ _NAME_RE = re.compile(rb"[^\x00\t\n\x0b\x0c\r ()<>\[\]{}/%]*")
 # Fast path: an array containing only numbers (Widths, W, matrices, rects).
 # Cannot match if a reference ("N 0 R") or nested object is present.
 _NUM_ARRAY_RE = re.compile(rb"\[([\s\d.+-]*)\]")
+# Fast path: literal string with no escapes and no nested parens.
+_SIMPLE_STR_RE = re.compile(rb"\(([^()\\]*)\)")
 
 
 class _Lexer:
@@ -192,6 +194,10 @@ class _Lexer:
 
     def _parse_literal_string(self) -> bytes:
         data = self.data
+        m = _SIMPLE_STR_RE.match(data, self.pos)
+        if m is not None:  # fast path: no escapes, no nested parens
+            self.pos = m.end()
+            return m.group(1)
         self.pos += 1  # '('
         out = bytearray()
         depth = 1

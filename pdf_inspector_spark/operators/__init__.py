@@ -44,5 +44,5 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
     from . import (conversation, dedup, extraction,  # noqa: F401
-                   multimodal, relational, similarity, textstats)
+                   multimodal, relational, similarity, sketches, textstats)
     return REGISTRY

@@ -238,3 +238,51 @@ ORDER BY o_custkey
 register("rel_median_order_value", _sql(_MEDIAN), _MEDIAN,
          "exact per-customer median via window ranks (engine-identical "
          "integer rank arithmetic, decimal averaging)")
+
+
+# -- binned range join ------------------------------------------------------
+# "errors within 10 minutes after a click, same user". A naive range join
+# is O(n·m); binning both sides to 10-minute buckets turns it into an
+# equi-join on (user, bin) ∪ (user, bin+1) + residual filter — the
+# standard scale technique (bin width = range width ⇒ exactly 2 probes).
+
+_RANGE_JOIN = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts,
+         CAST(FLOOR(CAST(ts AS BIGINT) / 600) AS BIGINT) AS bin
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts,
+         CAST(FLOOR(CAST(ts AS BIGINT) / 600) AS BIGINT) AS bin
+  FROM events WHERE event_type = 'error'
+),
+probes AS (
+  SELECT user_id, click_id, click_ts, bin FROM clicks
+  UNION ALL
+  SELECT user_id, click_id, click_ts, bin + 1 AS bin FROM clicks
+)
+SELECT p.user_id AS user_id, p.click_id, e.error_id,
+       CAST(CAST(e.error_ts AS BIGINT) - CAST(p.click_ts AS BIGINT) AS BIGINT)
+         AS lag_seconds
+FROM probes p JOIN errors e
+  ON e.user_id = p.user_id AND e.bin = p.bin
+WHERE e.error_ts > p.click_ts
+  AND CAST(e.error_ts AS BIGINT) - CAST(p.click_ts AS BIGINT) <= 600
+ORDER BY user_id, click_id, error_id
+"""
+
+_RANGE_JOIN_DUCK = _RANGE_JOIN.replace("CAST(ts AS BIGINT)", "CAST(FLOOR(epoch(ts)) AS BIGINT)") \
+    .replace("CAST(e.error_ts AS BIGINT)", "CAST(FLOOR(epoch(e.error_ts)) AS BIGINT)") \
+    .replace("CAST(p.click_ts AS BIGINT)", "CAST(FLOOR(epoch(p.click_ts)) AS BIGINT)")
+
+_RANGE_JOIN_SPARK = _RANGE_JOIN \
+    .replace("CAST(ts AS BIGINT)", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)") \
+    .replace("CAST(e.error_ts AS BIGINT)",
+             "CAST(CAST(e.error_ts AS TIMESTAMP) AS BIGINT)") \
+    .replace("CAST(p.click_ts AS BIGINT)",
+             "CAST(CAST(p.click_ts AS TIMESTAMP) AS BIGINT)")
+
+register("rel_range_join_binned", _sql(_RANGE_JOIN_SPARK), _RANGE_JOIN_DUCK,
+         "range join via time binning: equi-join on (user, bin)+(user, bin+1) "
+         "with residual filter — 2 probes instead of O(n·m)")

@@ -404,3 +404,55 @@ class TestMarkdown:
         md = to_markdown("• First item\n• Second item\n\nRegular paragraph.")
         assert "- First item" in md
         assert "- Second item" in md
+
+
+class TestTableCellCleanup:
+    """Footnote extraction + continuation-row merge (src/tables.rs:946-1150)."""
+
+    def test_footnote_rows_extracted(self):
+        from pdf_inspector_spark.kernels.tables import clean_table_cells
+        cells = [
+            ["Name", "Value", "Unit"],
+            ["Temp", "25", "C"],
+            ["(1)", "measured at sea level", ""],
+            ["Note:", "all values nominal", ""],
+        ]
+        cleaned, footnotes = clean_table_cells(cells)
+        assert cleaned == [["Name", "Value", "Unit"], ["Temp", "25", "C"]]
+        assert footnotes == ["(1) measured at sea level",
+                             "Note: all values nominal"]
+
+    def test_continuation_rows_merged(self):
+        from pdf_inspector_spark.kernels.tables import clean_table_cells
+        cells = [
+            ["Part", "Description"],
+            ["X1", "first half of a long"],
+            ["", "description continued"],
+            ["", ""],  # fully empty row dropped
+            ["X2", "short"],
+        ]
+        cleaned, footnotes = clean_table_cells(cells)
+        assert cleaned == [
+            ["Part", "Description"],
+            ["X1", "first half of a long description continued"],
+            ["X2", "short"],
+        ]
+        assert footnotes == []
+
+    def test_is_footnote_row_variants(self):
+        from pdf_inspector_spark.kernels.tables import is_footnote_row
+        assert is_footnote_row("(1)")
+        assert is_footnote_row("2) see above")
+        assert is_footnote_row("Note: caveat")
+        assert is_footnote_row("Notes: several")
+        assert not is_footnote_row("Normal cell")
+        assert not is_footnote_row("(a) letter")
+
+    def test_markdown_includes_footnotes(self):
+        from pdf_inspector_spark.kernels.tables import Table, table_to_markdown
+        table = Table([0.0, 100.0], [500.0, 480.0, 460.0],
+                      [["H1", "H2"], ["a", "1"], ["(1)", "a footnote"]], [])
+        md = table_to_markdown(table)
+        assert "| a " in md
+        assert "(1) a footnote" in md
+        assert "| (1)" not in md  # footnote is below the table, not a row

@@ -285,3 +285,92 @@ ORDER BY doc_a, doc_b
 
 register("dedup_ngram_jaccard", _sql(_JACCARD_SPARK), _JACCARD_DUCK,
          "blocked pairwise 3-gram Jaccard (integer milli-Jaccard ≥ 0.1)")
+
+
+# -- duplicate clusters: connected components over LSH candidate edges ------
+# The full dedup story: LSH candidate pairs are EDGES; duplicate groups
+# are the connected components. Spark runs iterative min-label
+# propagation (the scalable formulation — each round is one broadcast-
+# able aggregation+join, converging in O(diameter) rounds); the oracle
+# computes the same components with a recursive CTE.
+
+
+def _cluster_spark(spark, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    from . import load_views
+    load_views(spark, sf_dir)
+    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
+    a, c = bands.alias("a"), bands.alias("c")
+    edges = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                    & (F.col("a.bkey") == F.col("c.bkey"))
+                    & (F.col("a.doc_id") < F.col("c.doc_id")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("c.doc_id").alias("dst"))
+             .distinct().localCheckpoint())
+    # undirected adjacency
+    adj = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .union(edges.select(F.col("dst").alias("doc_id")))
+              .distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(12):  # > graph diameter at any realistic cluster size
+        neighbor_min = (adj.join(labels, adj.dst == labels.doc_id)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.doc_id == neighbor_min.src, "left")
+                      .select(F.col("doc_id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return (labels.select(F.col("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
+_CLUSTER_DUCK = f"""
+WITH RECURSIVE
+bands AS ({{bands_sql}}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+),
+adj AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM adj),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT a.dst, reach.r FROM reach JOIN adj a ON a.src = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _cluster_duck_sql() -> str:
+    # embed the band computation (everything up to the bands SELECT)
+    inner = _MINHASH_DUCK.strip()
+    # _MINHASH_DUCK is "WITH toks AS (...), ... SELECT DISTINCT a.doc_id ..."
+    # we need just the bands relation: rewrap its CTE chain.
+    prefix = inner[len("WITH "):inner.index("SELECT DISTINCT")]
+    bands_sql = ("SELECT doc_id, b, bkey FROM (WITH " + prefix.rstrip().rstrip(",")
+                 + " SELECT doc_id, b, bkey FROM bands)")
+    return _CLUSTER_DUCK.format(bands_sql=bands_sql)
+
+
+register("dedup_cluster_components", _cluster_spark, _cluster_duck_sql(),
+         "duplicate clusters = connected components over LSH candidate "
+         "edges; iterative min-label propagation (Spark) vs recursive CTE "
+         "(oracle) — the one genuinely iterative operator")

@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from .pdfobj import Document, Name, Ref, Stream
+from .pdfobj import Document, Stream
 
 PDF_TYPE_TEXT = "text_based"
 PDF_TYPE_SCANNED = "scanned"

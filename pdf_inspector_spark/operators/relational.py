@@ -195,6 +195,22 @@ register("rel_rollup_lineitem", _sql(_ROLLUP), _ROLLUP,
          "reference's per-document folds)")
 
 
+# -- cube (all grouping combinations) ---------------------------------------
+
+_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+register("rel_cube_orders", _sql(_CUBE), _CUBE,
+         "CUBE aggregation over orders (all grouping-set combinations)")
+
+
 # -- as-of join idiom -------------------------------------------------------
 # For every event, the timestamp of the user's most recent prior 'click'
 # event — the as-of join expressed as a running window (no join at all;

@@ -249,3 +249,56 @@ ORDER BY qid, rnk
 register("sim_ivf_topk", _sql(_IVF_SPARK), _IVF_DUCK,
          "IVF-style ANN: deterministic centroid assignment + single-probe "
          "top-3 within the query's inverted list")
+
+
+# -- hybrid retrieval: keyword filter + vector rank -------------------------
+# The retrieval pattern of a training-data/RAG pipeline: cheap lexical
+# predicate prunes the candidate set (pushed to the scan), then cosine
+# similarity to a query vector (embedding of vec_id 0) ranks the
+# survivors. documents and embeddings join on doc_id = vec_id.
+
+_HYBRID_SPARK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.text LIKE '%join%'
+),
+scored AS (
+  SELECT c.doc_id,
+         {_DOT_SPARK.format(a='q.qe', b='c.embedding')} AS dot,
+         sqrt({_DOT_SPARK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_SPARK.format(a='c.embedding', b='c.embedding')}) AS en
+  FROM cand c CROSS JOIN q
+)
+SELECT doc_id, ROUND(dot / (qn * en), 3) AS cos_sim,
+       ROW_NUMBER() OVER (ORDER BY dot / (qn * en) DESC, doc_id) AS rnk
+FROM scored
+ORDER BY rnk
+LIMIT 10
+"""
+
+_HYBRID_DUCK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.text LIKE '%join%'
+),
+scored AS (
+  SELECT c.doc_id,
+         {_DOT_DUCK.format(a='q.qe', b='c.embedding')} AS dot,
+         sqrt({_DOT_DUCK.format(a='q.qe', b='q.qe')}) AS qn,
+         sqrt({_DOT_DUCK.format(a='c.embedding', b='c.embedding')}) AS en
+  FROM cand c CROSS JOIN q
+)
+SELECT doc_id, ROUND(dot / (qn * en), 3) AS cos_sim,
+       ROW_NUMBER() OVER (ORDER BY dot / (qn * en) DESC, doc_id) AS rnk
+FROM scored
+ORDER BY rnk
+LIMIT 10
+"""
+
+register("sim_hybrid_retrieval", _sql(_HYBRID_SPARK), _HYBRID_DUCK,
+         "hybrid retrieval: lexical predicate (scan-pruned) + cosine rank "
+         "to a query vector, top-10")

@@ -50,7 +50,9 @@ def _detect(path: str, as_json: bool) -> int:
     return 0
 
 
-def _pdf2md(path: str, mode: str) -> int:
+def _pdf2md(path: str, mode: str, out_file: str | None = None) -> int:
+    """--json / --raw (plain text, reference flag) / --text (alias);
+    optional output file like the reference's pdf2md (src/bin/pdf2md.rs)."""
     from .kernels.pipeline import process_pdf_mem
     buf = _read(path)
     if buf is None:
@@ -63,13 +65,19 @@ def _pdf2md(path: str, mode: str) -> int:
         print(f"PDF is {r['pdf_type']}; OCR required", file=sys.stderr)
         return 2
     if mode == "--json":
-        print(json.dumps({k: r[k] for k in (
+        out = json.dumps({k: r[k] for k in (
             "pdf_type", "page_count", "confidence", "markdown", "text",
-            "processing_time_ms")}))
-    elif mode == "--text":
-        print(r["text"] or "")
+            "processing_time_ms")}) + "\n"
+    elif mode in ("--raw", "--text"):
+        out = (r["text"] or "") + "\n"
     else:
-        print(r["markdown"] or "", end="")
+        out = r["markdown"] or ""
+    if out_file:
+        with open(out_file, "w", encoding="utf-8") as f:
+            f.write(out)
+        print(f"wrote {out_file}", file=sys.stderr)
+    else:
+        print(out, end="")
     return 0
 
 
@@ -115,7 +123,10 @@ def main(argv: list[str]) -> int:
     if cmd == "detect":
         return _detect(path, flag == "--json")
     if cmd == "pdf2md":
-        return _pdf2md(path, flag)
+        flags = [a for a in argv[2:] if a.startswith("--")]
+        positional = [a for a in argv[2:] if not a.startswith("--")]
+        return _pdf2md(path, flags[0] if flags else "",
+                       positional[0] if positional else None)
     if cmd == "debug":
         return _debug_items(path, flag)
     print(f"unknown command: {cmd}", file=sys.stderr)

@@ -51,8 +51,10 @@ def _detect(path: str, as_json: bool) -> int:
 
 
 def _pdf2md(path: str, mode: str, out_file: str | None = None) -> int:
-    """--json / --raw (plain text, reference flag) / --text (alias);
-    optional output file like the reference's pdf2md (src/bin/pdf2md.rs)."""
+    """--json (reference key set) / --raw (markdown only, no headers —
+    the reference's flag, src/bin/pdf2md.rs "Raw output - just the
+    markdown") / --text (our extension: plain extracted text); optional
+    output file like the reference's pdf2md."""
     from .kernels.pipeline import process_pdf_mem
     buf = _read(path)
     if buf is None:
@@ -62,13 +64,24 @@ def _pdf2md(path: str, mode: str, out_file: str | None = None) -> int:
         print(f"error: {r['error_msg']}", file=sys.stderr)
         return 1
     if r["pdf_type"] in ("scanned", "image_based"):
-        print(f"PDF is {r['pdf_type']}; OCR required", file=sys.stderr)
-        return 2
+        # --json still reports the result row (the reference prints JSON
+        # before the exit-code check too); other modes error to stderr.
+        if mode != "--json":
+            print(f"PDF is {r['pdf_type']}; OCR required", file=sys.stderr)
+            return 2
     if mode == "--json":
-        out = json.dumps({k: r[k] for k in (
-            "pdf_type", "page_count", "confidence", "markdown", "text",
-            "processing_time_ms")}) + "\n"
-    elif mode in ("--raw", "--text"):
+        # Key set mirrors src/bin/pdf2md.rs JSON output exactly.
+        out = json.dumps({
+            "pdf_type": r["pdf_type"],
+            "page_count": r["page_count"],
+            "has_text": r["text"] is not None,
+            "processing_time_ms": r["processing_time_ms"],
+            "markdown_length": len(r["markdown"] or ""),
+            "markdown": r["markdown"] or "",
+        }) + "\n"
+    elif mode == "--raw":
+        out = r["markdown"] or ""
+    elif mode == "--text":
         out = (r["text"] or "") + "\n"
     else:
         out = r["markdown"] or ""

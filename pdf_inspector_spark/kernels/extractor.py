@@ -793,9 +793,16 @@ def _interpret_stream(doc: Document, operations, page_num: int,
             if len(ops) >= 2:
                 tx = _get_number(ops[0]) or 0.0
                 ty = _get_number(ops[1]) or 0.0
-                line_matrix[4] += tx
-                line_matrix[5] += ty
-                text_matrix = list(line_matrix)
+                if is_form:
+                    # Form mini-interpreter parity (src/extractor.rs:
+                    # 1452-1459): offsets apply directly to the
+                    # post-advance text matrix; no line matrix.
+                    text_matrix[4] += tx
+                    text_matrix[5] += ty
+                else:
+                    line_matrix[4] += tx
+                    line_matrix[5] += ty
+                    text_matrix = list(line_matrix)
         elif o == "Tm":
             if len(ops) >= 6:
                 for i in range(6):
@@ -803,8 +810,9 @@ def _interpret_stream(doc: Document, operations, page_num: int,
                     text_matrix[i] = v if v is not None else (1.0 if i in (0, 3) else 0.0)
                 line_matrix = list(text_matrix)
         elif o == "T*":
-            line_matrix[5] -= current_font_size * 1.2  # line height approx
-            text_matrix = list(line_matrix)
+            if not is_form:  # the reference's form interpreter has no T*
+                line_matrix[5] -= current_font_size * 1.2  # line height approx
+                text_matrix = list(line_matrix)
         elif o == "Tj":
             if in_text_block and ops:
                 text = decode(ops[0])

@@ -293,6 +293,18 @@ class _Lexer:
             if data[self.pos:self.pos + 1] == b"\n":
                 self.pos += 1
             start = self.pos
+            # Prefer a resolvable integer /Length: FlateDecode payloads are
+            # arbitrary binary and may contain the literal bytes
+            # 'endstream', which would silently truncate a raw scan. Trust
+            # the declared length only when 'endstream' (after optional
+            # EOL) actually follows the slice; otherwise fall back to the
+            # scan (indirect-Ref lengths can't be resolved at lex time).
+            length = d.get("Length")
+            if isinstance(length, int) and 0 <= length <= self.n - start:
+                m = _ENDSTREAM_AT_RE.match(data, start + length)
+                if m:
+                    self.pos = m.end()
+                    return Stream(d, data[start:start + length])
             end = data.find(b"endstream", start)
             if end == -1:
                 end = self.n
@@ -309,6 +321,9 @@ class _Lexer:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer")
+# 'endstream' keyword expected right after a /Length-sized slice,
+# tolerating the spec's optional EOL (and a little stray whitespace).
+_ENDSTREAM_AT_RE = re.compile(rb"[\x00\t\n\x0c\r ]{0,4}endstream")
 
 
 class Document:
@@ -607,9 +622,23 @@ def decode_content(data: bytes) -> list[Operation]:
         pos = m.end()
         op = tok.decode("latin-1")
         if op == "BI":
-            # inline image: skip to EI
-            j = data.find(b"EI", pos)
-            pos = n if j == -1 else j + 2
+            # Inline image: skip to the closing EI. The unencoded binary
+            # between ID and EI can contain the raw bytes 'EI', so only a
+            # candidate preceded by whitespace AND followed by whitespace/
+            # delimiter/EOF counts; otherwise resume from the next one.
+            j = pos
+            while True:
+                j = data.find(b"EI", j)
+                if j == -1:
+                    pos = n
+                    break
+                before_ok = j > 0 and data[j - 1] in _WS
+                nxt = data[j + 2:j + 3]
+                after_ok = nxt == b"" or nxt[0] in _WS or nxt[0] in _DELIM
+                if before_ok and after_ok:
+                    pos = j + 2
+                    break
+                j += 2
             operands = []
             continue
         ops.append(Operation(op, operands))

@@ -117,7 +117,10 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             if c:
                 p = c / n
                 entropy -= p * math.log2(p)
-        digest = hashlib.md5(payload).hexdigest()
+        # Hash the uppercase-hex encoding (not the raw bytes): DuckDB v1.0
+        # md5() only accepts VARCHAR, so this keeps the content hash
+        # SQL-expressible in the cross-engine oracle.
+        digest = hashlib.md5(payload.hex().upper().encode()).hexdigest()
         rows.append({
             "media_id": r.media_id,
             "kind": r.kind,

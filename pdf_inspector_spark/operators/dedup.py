@@ -27,10 +27,25 @@ def _sql(query: str):
 
 
 # -- exact dedup ------------------------------------------------------------
+# The corpus is widened with a deterministic "re-crawl overlay": every
+# 10th document reappears under a new doc_id (offset 10^6) with identical
+# text — the cross-crawl duplication pattern a web-scale pipeline dedups.
+# Derived purely from the input table (no synthesized data), identically
+# in both engines, so the operator's duplicate-group output is non-vacuous
+# (the raw sf tables contain no exact text duplicates).
+
+_RECRAWL_SPARK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_RECRAWL_DUCK = _RECRAWL_SPARK
 
 _EXACT_SPARK = f"""
-WITH hashed AS (
-  SELECT doc_id, {SPARK_H64.format(x='text')} AS text_hash FROM documents
+WITH corpus AS ({_RECRAWL_SPARK}),
+hashed AS (
+  SELECT doc_id, {SPARK_H64.format(x='text')} AS text_hash FROM corpus
 )
 SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
 FROM hashed
@@ -40,8 +55,9 @@ ORDER BY text_hash
 """
 
 _EXACT_DUCK = f"""
-WITH hashed AS (
-  SELECT doc_id, {DUCK_H64.format(x='text')} AS text_hash FROM documents
+WITH corpus AS ({_RECRAWL_DUCK}),
+hashed AS (
+  SELECT doc_id, {DUCK_H64.format(x='text')} AS text_hash FROM corpus
 )
 SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
 FROM hashed
@@ -51,7 +67,8 @@ ORDER BY text_hash
 """
 
 register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
-         "exact duplicate groups via content-hash groupBy (map-side combine)")
+         "exact duplicate groups via content-hash groupBy (map-side combine) "
+         "over a deterministic re-crawl overlay (non-vacuous)")
 
 _EXACT_KEEP_SPARK = f"""
 WITH hashed AS (
@@ -229,62 +246,130 @@ register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
 
 
 # -- n-gram Jaccard verification -------------------------------------------
-# Candidate blocking by source; exact Jaccard over distinct 3-gram sets as
-# an integer pair (intersection, union) plus a milli-Jaccard integer.
+# Exact Jaccard over distinct 3-gram sets, computed ONLY for the LSH
+# candidate pairs (the band bucket join above) — never all pairs within a
+# block. At 10^12 rows the pairwise work is bounded by the LSH collision
+# count; the old formulation (all pairs sharing `source`) was O(n²) per
+# block. The shingle table is materialized once and joined back to both
+# sides of each candidate pair.
 
-_JACCARD_SPARK = """
-WITH sh AS (
-  SELECT doc_id, source,
-         array_distinct(transform(sequence(1, size(ts) - 2),
-             i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-                            element_at(ts, i + 2)))) AS shingles
-  FROM (SELECT doc_id, source,
-               filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-        FROM documents)
-  WHERE size(ts) >= 3
+_SHINGLES_SPARK = """
+SELECT doc_id,
+       array_distinct(transform(sequence(1, size(ts) - 2),
+           i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+                          element_at(ts, i + 2)))) AS shingles
+FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+      FROM documents)
+WHERE size(ts) >= 3
+"""
+
+_BANDS_FROM_SH_SPARK = f"""
+WITH hs AS (
+  SELECT doc_id,
+         transform(shingles, s -> {SPARK_H64.format(x='s')} % {_MERS}) AS hashes
+  FROM jac_sh
+),
+mh AS (
+  SELECT doc_id,
+         transform(sequence(0, 7),
+             j -> array_min(transform(hashes,
+                 h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
+  FROM hs
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       size(array_intersect(a.shingles, b.shingles)) AS n_inter,
-       size(a.shingles) + size(b.shingles)
-         - size(array_intersect(a.shingles, b.shingles)) AS n_union,
-       CAST(size(array_intersect(a.shingles, b.shingles)) * 1000 AS BIGINT)
-         DIV (size(a.shingles) + size(b.shingles)
-              - size(array_intersect(a.shingles, b.shingles))) AS jaccard_milli
-FROM sh a JOIN sh b
-  ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE size(array_intersect(a.shingles, b.shingles)) * 10
-      >= size(a.shingles) + size(b.shingles)
-         - size(array_intersect(a.shingles, b.shingles))
+SELECT doc_id, b,
+       {SPARK_H64.format(x="concat(cast(element_at(mins, 2*b+1) AS STRING), ':', cast(element_at(mins, 2*b+2) AS STRING))")} AS bkey
+FROM mh
+LATERAL VIEW explode(sequence(0, 3)) AS b
+"""
+
+_VERIFY_SPARK = """
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM jac_bands a JOIN jac_bands c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         size(array_intersect(x.shingles, y.shingles)) AS n_inter,
+         size(x.shingles) + size(y.shingles) AS sz
+  FROM cand JOIN jac_sh x ON x.doc_id = cand.doc_a
+            JOIN jac_sh y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, n_inter,
+       sz - n_inter AS n_union,
+       CAST(n_inter * 1000 AS BIGINT) DIV (sz - n_inter) AS jaccard_milli
+FROM scored
+WHERE n_inter * 10 >= sz - n_inter
 ORDER BY doc_a, doc_b
 """
 
-_JACCARD_DUCK = """
-WITH sh AS (
-  SELECT doc_id, source,
+
+def _jaccard_spark(spark, sf_dir: str):
+    """Shingle table and band table are each materialized once
+    (localCheckpoint — a persisted intermediate on a real cluster) so the
+    candidate self-join and the two verification joins reuse them instead
+    of recomputing the shingle subtree per join side."""
+    from . import load_views
+    load_views(spark, sf_dir)
+    sh = spark.sql(_SHINGLES_SPARK).localCheckpoint()
+    sh.createOrReplaceTempView("jac_sh")
+    bands = spark.sql(_BANDS_FROM_SH_SPARK).localCheckpoint()
+    bands.createOrReplaceTempView("jac_bands")
+    return spark.sql(_VERIFY_SPARK)
+
+
+_JACCARD_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
          list_distinct(list_transform(range(1, len(ts) - 1),
              i -> ts[i::int] || ' ' || ts[i::int + 1] || ' ' || ts[i::int + 2])) AS shingles
-  FROM (SELECT doc_id, source,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                           x -> x <> '') AS ts
-        FROM documents)
-  WHERE len(ts) >= 3
+  FROM toks WHERE len(ts) >= 3
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_inter,
-         len(a.shingles) + len(b.shingles)
-           - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_union
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {DUCK_H64.format(x='s')} % {_MERS}) AS hashes
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(hashes,
+                 h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b,
+         {DUCK_H64.format(x="mins[(2*b+1)::int]::VARCHAR || ':' || mins[(2*b+2)::int]::VARCHAR")} AS bkey
+  FROM mh, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS n_inter,
+         len(x.shingles) + len(y.shingles) AS sz
+  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b
 )
-SELECT doc_a, doc_b, n_inter, n_union,
-       (n_inter * 1000) // n_union AS jaccard_milli
-FROM pairs
-WHERE n_inter * 10 >= n_union
+SELECT doc_a, doc_b, n_inter,
+       sz - n_inter AS n_union,
+       (n_inter * 1000) // (sz - n_inter) AS jaccard_milli
+FROM scored
+WHERE n_inter * 10 >= sz - n_inter
 ORDER BY doc_a, doc_b
 """
 
-register("dedup_ngram_jaccard", _sql(_JACCARD_SPARK), _JACCARD_DUCK,
-         "blocked pairwise 3-gram Jaccard (integer milli-Jaccard ≥ 0.1)")
+register("dedup_ngram_jaccard", _jaccard_spark, _JACCARD_DUCK,
+         "exact 3-gram Jaccard verification over LSH candidate pairs only "
+         "(integer milli-Jaccard ≥ 0.1; no unbounded pairwise block)")
 
 
 # -- duplicate clusters: connected components over LSH candidate edges ------

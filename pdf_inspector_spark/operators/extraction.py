@@ -23,7 +23,7 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v5.parquet")
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v6.parquet")
 
 
 def ensure_fixture_tables() -> tuple[str, str]:
@@ -36,6 +36,7 @@ def ensure_fixture_tables() -> tuple[str, str]:
             ("doc_id", pa.string()), ("pdf_type", pa.string()),
             ("text", pa.string()), ("markdown", pa.string()),
             ("error_kind", pa.string()), ("n_spans", pa.int32()),
+            ("ocr_recommended", pa.bool_()),
         ]))
         os.makedirs(DATA_DIR, exist_ok=True)
         pq.write_table(table, EXPECTED_PATH, compression="zstd")
@@ -217,13 +218,18 @@ def _register_all() -> None:
         ORDER BY conv_id, turn_idx
     """, "extraction → quality-score composition over derived turn text")
 
+    # DuckDB SUM(int) yields HUGEINT (→ float64 through pandas) while Spark
+    # yields BIGINT: cast every SUM to BIGINT so the driver hash gate agrees.
+    # n_ocr_flagged counts the pipeline's own ocr_recommended flag (persisted
+    # in the v6 fixture), not a pdf_type re-derivation.
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,
-               SUM(CASE WHEN pdf_type IN ('text_based','mixed') THEN 1 ELSE 0 END)
-                 AS n_routable,
-               SUM(CASE WHEN pdf_type IN ('scanned','image_based','mixed')
-                        THEN 1 ELSE 0 END) AS n_ocr_flagged,
-               SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS n_extracted
+               CAST(SUM(CASE WHEN pdf_type IN ('text_based','mixed')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_routable,
+               CAST(SUM(CASE WHEN ocr_recommended THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ocr_flagged,
+               CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_extracted
         FROM {exp}
     """, "routing selectivity: routable / OCR-flagged / extracted counts")
 

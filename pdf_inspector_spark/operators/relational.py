@@ -130,17 +130,34 @@ register("rel_sessionize_events", _sql(_SESSIONS), _SESSIONS_DUCK,
 
 # -- event-type rates per hour (time bucketing + pivot-style agg) -----------
 
+# The hour bucket crosses the Spark↔DuckDB boundary as epoch seconds
+# (BIGINT) — Spark TIMESTAMP is LTZ while DuckDB's is naive, so the raw
+# timestamp representations hash differently even at identical instants.
+# Conditional SUMs are cast to BIGINT (DuckDB SUM(int) → HUGEINT), and the
+# money sum stays DECIMAL(18,2) — exact in both engines.
 _RATES = """
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+SELECT CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
 FROM events
 GROUP BY 1
-ORDER BY hour
+ORDER BY hour_epoch
 """
 
-register("rel_event_rates_hourly", _sql(_RATES), _RATES,
+_RATES_DUCK = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY hour_epoch
+"""
+
+register("rel_event_rates_hourly", _sql(_RATES), _RATES_DUCK,
          "time-bucketed aggregation with conditional counts")
 
 

@@ -31,20 +31,25 @@ def _sql(query: str):
     return run
 
 
+# The k-min set is taken with ORDER BY h LIMIT k — Spark plans this as
+# TakeOrderedAndProject (per-partition top-k, merged on the driver), NOT a
+# single-partition global window. At 10^12 rows every partition emits at
+# most k hashes; the old ROW_NUMBER() OVER (ORDER BY h) formulation forced
+# all distinct hashes through one partition.
 _KMV_SPARK = f"""
 WITH hashed AS (
   SELECT DISTINCT {SPARK_H64.format(x='cast(o_custkey AS STRING)')} AS h
   FROM orders
 ),
 kmin AS (
-  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+  SELECT h FROM hashed ORDER BY h LIMIT {K}
 )
 SELECT {K} AS k,
        MAX(h) AS kth_min_hash,
        CAST(FLOOR(({K} - 1) * CAST({HASH_SPACE} AS DOUBLE) / MAX(h)) AS BIGINT)
          AS estimated_distinct,
        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
-FROM kmin WHERE rn <= {K}
+FROM kmin
 """
 
 _KMV_DUCK = f"""
@@ -53,14 +58,14 @@ WITH hashed AS (
   FROM orders
 ),
 kmin AS (
-  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+  SELECT h FROM hashed ORDER BY h LIMIT {K}
 )
 SELECT {K} AS k,
        MAX(h) AS kth_min_hash,
        CAST(FLOOR(({K} - 1) * {HASH_SPACE}::DOUBLE / MAX(h)) AS BIGINT)
          AS estimated_distinct,
        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
-FROM kmin WHERE rn <= {K}
+FROM kmin
 """
 
 register("sketch_kmv_distinct", _sql(_KMV_SPARK), _KMV_DUCK,

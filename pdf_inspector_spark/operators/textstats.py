@@ -131,14 +131,16 @@ WITH toks AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
-       MAX(n_tokens) AS max_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
 FROM toks
 GROUP BY source
 ORDER BY source
 """
 
+# DuckDB SUM(INTEGER) returns HUGEINT (int128), which pandas renders as
+# float64 — cast to BIGINT so the driver value hash matches Spark's BIGINT.
 _TOKENS_DUCK = """
 WITH toks AS (
   SELECT doc_id, source,
@@ -148,9 +150,9 @@ WITH toks AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
-       MAX(n_tokens) AS max_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
 FROM toks
 GROUP BY source
 ORDER BY source

@@ -192,6 +192,7 @@ def expected_turns(scale: str) -> list[dict]:
                 "pdf_type": e["pdf_type"], "text": e["text"],
                 "markdown": e["markdown"], "error_kind": e["error_kind"],
                 "n_spans": len(e["spans"]) if e["spans"] is not None else 0,
+                "ocr_recommended": bool(e["ocr_recommended"]),
             })
     return out
 

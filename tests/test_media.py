@@ -38,7 +38,8 @@ def test_media_features_match_reference_computation(spark, media_df):
         ent = -sum((c / len(payload)) * math.log2(c / len(payload))
                    for c in counts if c)
         assert f["byte_entropy_milli"] == int(ent * 1000)
-        assert f["content_hash"] == int(hashlib.md5(payload).hexdigest()[:15], 16)
+        assert f["content_hash"] == int(
+            hashlib.md5(payload.hex().upper().encode()).hexdigest()[:15], 16)
 
 
 def test_decode_resize_shape_contract(spark, media_df):

@@ -1,0 +1,66 @@
+"""Robustness of the PDF object parser against adversarial byte patterns
+that are legal in real files (ADVICE round 1):
+
+- a FlateDecode payload containing the literal bytes 'endstream' must not
+  be truncated when the dict carries a resolvable integer /Length
+  (reference: lopdf honors /Length; src/tounicode.rs:413-466 only uses
+  the raw scan for CMaps);
+- inline image data between ID and EI may contain the raw bytes 'EI';
+  only a whitespace-delimited EI terminates the image, so the content
+  tokenizer stays synchronized.
+"""
+
+import zlib
+
+from pdf_inspector_spark.kernels.pdfobj import (Document, Stream,
+                                                decode_content)
+
+
+def test_length_protects_endstream_in_flate_payload():
+    # zlib level 0 emits stored (uncompressed) deflate blocks, so the
+    # compressed byte stream literally contains the plaintext — including
+    # the bytes 'endstream'. A legal FlateDecode stream the old raw scan
+    # truncated mid-payload.
+    plain = b"some text then endstream appears raw inside the payload"
+    comp = zlib.compress(plain, 0)
+    assert b"endstream" in comp
+    body = (b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
+            + b" >>\nstream\n" + comp + b"\nendstream")
+    pdf = (b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+           b"trailer\n<< /Size 2 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    doc = Document.load_mem(pdf)
+    st = doc.objects[1]
+    assert isinstance(st, Stream)
+    assert st.raw == comp
+    assert st.decompressed() == plain
+
+
+def test_length_fallback_to_scan_when_length_wrong():
+    data = b"hello stream body"
+    body = (b"<< /Length 9999 >>\nstream\n" + data + b"\nendstream")
+    pdf = (b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+           b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n")
+    doc = Document.load_mem(pdf)
+    st = doc.objects[1]
+    assert isinstance(st, Stream)
+    assert st.raw == data
+
+
+def test_inline_image_embedded_EI_bytes_do_not_desync():
+    # Binary image data contains 'EI' with non-whitespace neighbors
+    # ('xEIx') — must NOT terminate the image; the real ' EI ' does.
+    content = (b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /G ID \xffxEIx\x00\x01 EI\n"
+               b"BT /F1 12 Tf 72 680 Td (after) Tj ET\n")
+    ops = decode_content(content)
+    names = [o.operator for o in ops]
+    # both text blocks survive intact around the inline image
+    assert names.count("Tj") == 2
+    tjs = [o.operands[0] for o in ops if o.operator == "Tj"]
+    assert tjs == [b"before", b"after"]
+
+
+def test_inline_image_unterminated_consumes_rest():
+    content = (b"BT (x) Tj ET\nBI /W 1 ID \xff\xfeEIX")  # no delimited EI
+    ops = decode_content(content)
+    assert [o.operator for o in ops][-1] == "ET"

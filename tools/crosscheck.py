@@ -20,12 +20,20 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """Driver-strength normalization: exact values, NO float rounding and
+    NO timezone stripping — representation differences (HUGEINT→float64,
+    TIMESTAMP_LTZ vs naive) must FAIL here exactly as they fail in the
+    driver's hash gate. Only decimal.Decimal is canonicalized (both
+    engines produce exact decimals; trailing-zero scale is type-level)."""
+    import decimal
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize()) if v != 0 else "0"
     if hasattr(v, "isoformat"):
-        return v.isoformat().replace("+00:00", "")
+        return v.isoformat()
     return v
 
 

@@ -51,14 +51,28 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
-def extraction_worker(cpus: int, scale: str) -> dict:
-    """One extraction throughput measurement at local[cpus]."""
+def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
+    """One extraction throughput measurement at local[cpus].
+
+    cached=True is the production configuration (content-hash LRU on:
+    repeated attachments are memoized — the transcripts workload).
+    cached=False measures the raw kernel path, modeling a corpus of all-
+    distinct documents; the N→4N scaling-efficiency evidence uses THIS
+    mode, because the cached job at bench scale finishes in ~1 s and
+    fixed stage overhead, not throughput, would dominate the ratio."""
     from pdf_inspector_spark.pipeline import run_pipeline
     from pdf_inspector_spark.session import get_spark
     from pdf_inspector_spark.transcripts import write_transcripts
 
     tpath = write_transcripts(scale)
-    spark = get_spark(f"bench-extract-{cpus}", cpus=cpus)
+    # Cap JVM background parallelism: at local[32] the GC/JIT thread pools
+    # default to sizes derived from 32 hw threads and steal cores from the
+    # 32 executor-python workers doing the actual kernel work.
+    jvm_opts = os.environ.get(
+        "SPARK_GRAFT_JVM_OPTS",
+        "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2")
+    spark = get_spark(f"bench-extract-{cpus}", cpus=cpus,
+                      extra_conf={"spark.driver.extraJavaOptions": jvm_opts})
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(tpath)
     n_turns = df.count()
@@ -66,7 +80,7 @@ def extraction_worker(cpus: int, scale: str) -> dict:
     # path so the timed pass measures steady-state throughput, not
     # worker cold-start (which would bias against high parallelism).
     warm = df.limit(cpus * 96).repartition(cpus)
-    run_pipeline(warm, with_markdown=True).count()
+    run_pipeline(warm, with_markdown=True, payload_cache=cached).count()
     # The table is a many-file directory → file-level scan parallelism;
     # the pipeline runs on scan partitions with no payload shuffle.
     # Best of 2 timed passes: the box's thermal state drifts ±15%, so a
@@ -75,51 +89,60 @@ def extraction_worker(cpus: int, scale: str) -> dict:
     processed = 0
     for _ in range(2):
         t0 = time.monotonic()
-        out = run_pipeline(df, with_markdown=True)
+        out = run_pipeline(df, with_markdown=True, payload_cache=cached)
         processed = out.where(out.pdf_type.isNotNull()).count()
         elapsed = min(elapsed, time.monotonic() - t0)
     spark.stop()
     # Hardware ceiling at the same level, measured immediately after (same
     # thermal state): the same kernel work with zero Spark.
-    hw = hardware_baseline([cpus], docs_per_proc=1200)[cpus]
-    return {"cpus": cpus, "scale": scale, "turns": n_turns,
+    hw = hardware_baseline([cpus], docs_per_proc=30000 if cached else 800,
+                           use_cache=cached)[cpus]
+    return {"cpus": cpus, "scale": scale, "cached": cached, "turns": n_turns,
             "processed": processed, "sec": round(elapsed, 3),
             "turns_per_sec": round(n_turns / elapsed, 1),
             "hw_ceiling_docs_per_sec": hw}
 
 
-def _mp_worker(n: int) -> tuple[int, float]:
+def _mp_worker(args: tuple[int, bool]) -> tuple[int, float]:
     """Hardware-baseline worker: the same kernel work with zero Spark."""
     import time as _t
 
     from pdf_inspector_spark.corpus import corpus_payloads
     from pdf_inspector_spark.kernels.pipeline import process_pdf_mem
     from pdf_inspector_spark.transcripts import _POOL
+    n, use_cache = args
     payloads = corpus_payloads()
     mix = [payloads[d] for d in _POOL]  # same doc-mix as the table
     for b in mix:
-        process_pdf_mem(b)
+        process_pdf_mem(b, use_cache=use_cache)
     t0 = _t.monotonic()
     done = 0
     while done < n:
         for b in mix:
-            process_pdf_mem(b)
+            process_pdf_mem(b, use_cache=use_cache)
         done += len(mix)
     return done, _t.monotonic() - t0
 
 
-def hardware_baseline(levels: list[int], docs_per_proc: int = 1500) -> dict[int, float]:
+def hardware_baseline(levels: list[int], docs_per_proc: int = 1500,
+                      use_cache: bool = True) -> dict[int, float]:
     """docs/sec for the identical kernel work via plain multiprocessing at
     each parallelism level — the no-JVM ceiling of this box. The ratio of
     Spark throughput to this baseline isolates Spark's own scaling from
     hardware frequency/bandwidth effects (which a real N→4N *executor*
-    scale-out would not share)."""
+    scale-out would not share).
+
+    The pool is warmed with a full pass FIRST (worker spawn + imports +
+    payload build happen outside the timed window); otherwise startup
+    dominates and the 'ceiling' undershoots by several ×."""
     import multiprocessing as mp
     out: dict[int, float] = {}
     for procs in levels:
         with mp.Pool(procs) as pool:
+            pool.map(_mp_worker, [(1, use_cache)] * procs)  # warm-up
             t0 = time.monotonic()
-            results = pool.map(_mp_worker, [docs_per_proc] * procs)
+            results = pool.map(_mp_worker,
+                               [(docs_per_proc, use_cache)] * procs)
             wall = time.monotonic() - t0
         out[procs] = round(sum(r[0] for r in results) / wall, 1)
     return out
@@ -146,7 +169,8 @@ def run_analytics(sf_dir: str, cpus: int) -> dict[str, float]:
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         cpus, scale = int(sys.argv[2]), sys.argv[3]
-        print(json.dumps(extraction_worker(cpus, scale)))
+        cached = (sys.argv[4] != "nocache") if len(sys.argv) > 4 else True
+        print(json.dumps(extraction_worker(cpus, scale, cached)))
         return
 
     sf = _sf_of(SF_DIR)
@@ -162,21 +186,31 @@ def main() -> None:
     n_low = max(CPUS // 4, 1)
     levels = ([max(CPUS // 16, 1), n_low, CPUS]
               if CPUS >= 16 else [n_low, CPUS])
-    results = {}
-    for cpus in levels:
+    def _spawn(cpus: int, mode: str) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
-             str(cpus), scale],
+             str(cpus), scale, mode],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
-            results[cpus] = json.loads(line)
+            return json.loads(line)
         except json.JSONDecodeError:
             sys.stderr.write(proc.stdout + proc.stderr)
             raise
 
-    throughput = {"turns": results[CPUS]["turns"], "scale": scale}
+    # Scaling ladder runs the raw (cache-bypassed) kernel: an all-distinct
+    # document corpus, CPU-bound for tens of seconds per level — the mode
+    # where a throughput ratio measures the engine, not stage overhead.
+    results = {cpus: _spawn(cpus, "nocache") for cpus in levels}
+    # Production headline (content-hash LRU on — the transcripts workload
+    # where attachments repeat): measured at the full level only.
+    cached_head = _spawn(CPUS, "cached")
+
+    throughput = {"turns": results[CPUS]["turns"], "scale": scale,
+                  "turns_per_sec_cached_n%d" % CPUS:
+                      cached_head["turns_per_sec"],
+                  "cached_sec_n%d" % CPUS: cached_head["sec"]}
     for cpus in levels:
         throughput[f"turns_per_sec_n{cpus}"] = results[cpus]["turns_per_sec"]
     for lo, hi in zip(levels, levels[1:]):

@@ -712,6 +712,55 @@ def _inline_image() -> bytes:
     return build_pdf(objs)
 
 
+def _inline_image_binary_ei() -> bytes:
+    """Inline image whose UNENCODED binary contains the raw bytes 'EI'
+    with non-whitespace neighbors: the tokenizer must only terminate at a
+    whitespace-delimited EI, or every operator after the image corrupts
+    (ADVICE r1; real-world scanner output trips this)."""
+    content = (b"BT /F1 12 Tf 72 700 Td (Before binary EI) Tj ET\n"
+               b"BI /W 4 /H 2 /CS /G /BPC 8 ID "
+               b"\x10xEIx\xfeEI9\x00 EI\n"
+               b"BT /F1 12 Tf 72 684 Td (After binary EI) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
+def _dest_link() -> bytes:
+    """Link annotation with a /Dest array and NO /A action: the reference
+    deliberately skips Dest-only links (src/extractor.rs:1783-1785
+    'We'll skip this for now') — must be ignored without error, and the
+    URI link on the same page still extracted."""
+    objs = _catalog_and_pages([3])
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> "
+               b"/Annots [6 0 R 7 0 R] >>")
+    objs[4] = _stream_obj(b"<< >>",
+                          b"BT /F1 12 Tf 72 700 Td (Dest and URI links) Tj ET")
+    objs[5] = _HELV_FONT
+    objs[6] = (b"<< /Type /Annot /Subtype /Link "
+               b"/Rect [72 690 150 705] /Dest [3 0 R /XYZ 0 792 0] >>")
+    objs[7] = (b"<< /Type /Annot /Subtype /Link /Rect [160 690 280 705] "
+               b"/A << /Type /Action /S /URI /URI (https://example.com/x) >> >>")
+    return build_pdf(objs)
+
+
+def _encrypted_doc() -> bytes:
+    """Trailer carries /Encrypt: must become an error row (the reference's
+    PdfError::Encrypted, src/lib.rs:141), never garbage extraction."""
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>",
+                          b"BT /F1 12 Tf 72 700 Td (secret text) Tj ET")
+    objs[5] = _HELV_FONT
+    objs[6] = b"<< /Filter /Standard /V 2 /R 3 /O (o) /U (u) /P -44 >>"
+    return build_pdf(objs).replace(b"/Root 1 0 R",
+                                   b"/Root 1 0 R /Encrypt 6 0 R")
+
+
 def build_corpus() -> list[CorpusEntry]:
     """The full deterministic corpus, in a stable order."""
     return [
@@ -779,6 +828,16 @@ def build_corpus() -> list[CorpusEntry]:
                     "PDF 1.5 object-stream layout (ObjStm expansion)"),
         CorpusEntry("inline_image", _inline_image(), "text_based",
                     "BI/ID/EI inline image skipped, text around it kept"),
+        CorpusEntry("inline_image_binary_ei", _inline_image_binary_ei(),
+                    "text_based",
+                    "raw 'EI' bytes inside inline-image data do not desync "
+                    "the tokenizer (whitespace-delimited EI only)"),
+        CorpusEntry("dest_link", _dest_link(), "text_based",
+                    "/Dest-array link ignored (src/extractor.rs:1783-1785), "
+                    "URI link on same page still extracted"),
+        CorpusEntry("encrypted", _encrypted_doc(), None,
+                    "/Encrypt trailer → error row "
+                    "(PdfError::Encrypted, src/lib.rs:141)"),
     ]
 
 

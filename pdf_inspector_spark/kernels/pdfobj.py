@@ -73,6 +73,7 @@ _TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 _REF_RE = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
 _DELIM = b"()<>[]{}/%"
 _WS_RE = re.compile(rb"[\x00\t\n\x0b\x0c\r ]*")
+_WS_COMMENT_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*(?:\n|$))*")
 _NAME_RE = re.compile(rb"[^\x00\t\n\x0b\x0c\r ()<>\[\]{}/%]*")
 # Fast path: an array containing only numbers (Widths, W, matrices, rects).
 # Cannot match if a reference ("N 0 R") or nested object is present.
@@ -90,18 +91,9 @@ class _Lexer:
         self.n = len(data)
 
     def _skip_ws(self) -> None:
-        data, n = self.data, self.n
-        pos = self.pos
-        while pos < n:
-            c = data[pos]
-            if c in _WS:
-                pos += 1
-            elif c == 0x25:  # '%' comment
-                j = data.find(b"\n", pos)
-                pos = n if j == -1 else j + 1
-            else:
-                break
-        self.pos = pos
+        # single C-level regex step (whitespace runs + % comments) — this
+        # is the hottest call in object parsing, so no per-byte Python loop
+        self.pos = _WS_COMMENT_RE.match(self.data, self.pos).end()
 
     def parse_object(self) -> Any:
         """Parse one object at the current position."""
@@ -560,10 +552,12 @@ _OPERATOR_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 # Master tokenizer for content streams: one C-level scan classifies
 # integers, reals, names and operators; structured tokens ('(', '<', '[',
 # ']') drop to the object lexer. Group order = test order.
+# Leading whitespace is folded into the token pattern: one C-level match
+# per token instead of a ws-match + token-match pair.
 _CONTENT_TOKEN_RE = re.compile(
+    rb"[\x00\t\n\x0b\x0c\r ]*"
     rb"(?:"
-    rb"(?P<ws>[\x00\t\n\x0b\x0c\r ]+)"
-    rb"|(?P<int>[+-]?\d+(?![\d.]))"
+    rb"(?P<int>[+-]?\d+(?![\d.]))"
     rb"|(?P<real>[+-]?\d*\.\d*)"
     rb"|(?P<name>/[^\x00\t\n\x0b\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<op>[^\s()<>\[\]{}/%]+)"
@@ -582,65 +576,65 @@ def decode_content(data: bytes) -> list[Operation]:
     scan = _CONTENT_TOKEN_RE.match
     while pos < n:
         m = scan(data, pos)
+        if m is None:  # whitespace-only tail
+            break
         kind = m.lastgroup
-        if kind == "ws":
-            pos = m.end()
-            continue
+        pos = m.end()
         if kind == "int":
-            operands.append(int(m.group()))
-            pos = m.end()
+            operands.append(int(m.group("int")))
+            continue
+        if kind == "op":
+            op = m.group("op").decode("latin-1")
+            if op == "BI":
+                # Inline image: skip to the closing EI. The unencoded
+                # binary between ID and EI can contain the raw bytes 'EI',
+                # so only a candidate preceded by whitespace AND followed
+                # by whitespace/delimiter/EOF counts; otherwise resume
+                # from the next one.
+                j = pos
+                while True:
+                    j = data.find(b"EI", j)
+                    if j == -1:
+                        pos = n
+                        break
+                    before_ok = j > 0 and data[j - 1] in _WS
+                    nxt = data[j + 2:j + 3]
+                    after_ok = nxt == b"" or nxt[0] in _WS or nxt[0] in _DELIM
+                    if before_ok and after_ok:
+                        pos = j + 2
+                        break
+                    j += 2
+                operands = []
+                continue
+            ops.append(Operation(op, operands))
+            operands = []
+            continue
+        if kind == "name":
+            raw = m.group("name")
+            if b"#" not in raw:  # fast path (escapes are rare in content)
+                operands.append(Name(raw[1:].decode("latin-1")))
+            else:
+                lex.pos = m.start("name")
+                operands.append(lex._parse_name())
+                pos = lex.pos
             continue
         if kind == "real":
             try:
-                operands.append(float(m.group().decode("ascii")))
+                operands.append(float(m.group("real")))
             except ValueError:
                 pass
-            pos = m.end()
             continue
         if kind == "struct":
-            lex.pos = pos
+            start = m.start("struct")
+            lex.pos = start
             try:
                 operands.append(lex.parse_object())
             except (ValueError, IndexError):
-                lex.pos = pos + 1
+                lex.pos = start + 1
             pos = lex.pos
             continue
-        if m.group() == b"%":  # comment: skip to end of line
+        # single unclassified char
+        if m.group("other") == b"%":  # comment: skip to end of line
             j = data.find(b"\n", pos)
             pos = n if j == -1 else j + 1
-            continue
-        if kind == "name":
-            lex.pos = pos
-            operands.append(lex.parse_object())
-            pos = lex.pos
-            continue
-        if kind == "other":
-            pos = m.end()
-            continue
-        # operator token
-        tok = m.group()
-        pos = m.end()
-        op = tok.decode("latin-1")
-        if op == "BI":
-            # Inline image: skip to the closing EI. The unencoded binary
-            # between ID and EI can contain the raw bytes 'EI', so only a
-            # candidate preceded by whitespace AND followed by whitespace/
-            # delimiter/EOF counts; otherwise resume from the next one.
-            j = pos
-            while True:
-                j = data.find(b"EI", j)
-                if j == -1:
-                    pos = n
-                    break
-                before_ok = j > 0 and data[j - 1] in _WS
-                nxt = data[j + 2:j + 3]
-                after_ok = nxt == b"" or nxt[0] in _WS or nxt[0] in _DELIM
-                if before_ok and after_ok:
-                    pos = j + 2
-                    break
-                j += 2
-            operands = []
-            continue
-        ops.append(Operation(op, operands))
-        operands = []
     return ops

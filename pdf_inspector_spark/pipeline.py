@@ -158,7 +158,7 @@ def extract_structure_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFram
         yield _extract_batch(batch, with_markdown=True)
 
 
-def _make_process_udf(with_markdown: bool):
+def _make_process_udf(with_markdown: bool, use_cache: bool = True):
     cols = ["pdf_type", "page_count", "confidence", "ocr_recommended",
             "title", "text_out", "spans", "markdown", "error_kind",
             "error_msg", "processing_time_ms"]
@@ -178,7 +178,8 @@ def _make_process_udf(with_markdown: bool):
                         "processing_time_ms": 0})
                     continue
                 r = process_pdf_mem(_payload_bytes(payload),
-                                    with_markdown=with_markdown)
+                                    with_markdown=with_markdown,
+                                    use_cache=use_cache)
                 r["text_out"] = r.pop("text")
                 rows.append({c: r[c] for c in cols})
             yield pd.DataFrame(rows, columns=cols)
@@ -192,6 +193,12 @@ def _make_process_udf(with_markdown: bool):
 
 process_structure_udf = _make_process_udf(with_markdown=True)
 process_text_udf = _make_process_udf(with_markdown=False)
+# Cache-bypassing variants: perf harnesses use these to measure the raw
+# kernel (a distinct-document workload has no repeats to memoize).
+process_structure_udf_nocache = _make_process_udf(with_markdown=True,
+                                                  use_cache=False)
+process_text_udf_nocache = _make_process_udf(with_markdown=False,
+                                             use_cache=False)
 
 
 # --------------------------------------------------------------------------
@@ -215,7 +222,8 @@ def salt_column(num_buckets: int, cols: tuple[str, str] = ("conv_id", "turn_idx"
 
 def run_pipeline(df: DataFrame, *, with_markdown: bool = True,
                  salt_buckets: int | None = None,
-                 payload_col: str = "text") -> DataFrame:
+                 payload_col: str = "text",
+                 payload_cache: bool = True) -> DataFrame:
     """Full pipeline, fused single-pass plan:
 
         Scan → [Repartition(salt)] → ArrowEvalPython(process_udf) → Project
@@ -240,7 +248,11 @@ def run_pipeline(df: DataFrame, *, with_markdown: bool = True,
         # window contract downstream.
         df = df.repartition(salt_buckets, salt_column(salt_buckets))
 
-    udf = process_structure_udf if with_markdown else process_text_udf
+    if payload_cache:
+        udf = process_structure_udf if with_markdown else process_text_udf
+    else:
+        udf = (process_structure_udf_nocache if with_markdown
+               else process_text_udf_nocache)
     proc = df.withColumn("proc", udf(F.col(payload_col)))
     out_cols = [c for c in df.columns if c != payload_col]
     return proc.select(

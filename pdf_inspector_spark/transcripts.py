@@ -127,7 +127,14 @@ SCHEMA = pa.schema([
 ])
 
 
-ROWS_PER_FILE = 3072
+# Split granularity: one file = one scan split (single row group). The
+# split count must be ≫ max parallelism or wave quantization caps scaling:
+# t-bench at 3072 rows/file gave 67 splits → ceil(67/32)=3 waves at 32
+# cores = 70% utilization (vs 93% at 8) — that alone reads as a fake
+# 8→32 scaling loss. 768 rows/file ≈ 268 splits ≈ ≥93% utilization at
+# every level measured here. A real 10^12-turn Iceberg table has millions
+# of splits, so THIS is the faithful layout, not the coarse one.
+ROWS_PER_FILE = 768
 
 
 def table_path(scale: str, data_dir: str = DATA_DIR) -> str:

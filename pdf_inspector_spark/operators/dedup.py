@@ -102,6 +102,16 @@ register("dedup_exact_stats", _sql(_EXACT_KEEP_SPARK), _EXACT_KEEP_DUCK,
 
 _MERS = 2147483647  # 2^31 - 1
 
+# LSH geometry — module-level constants; the SQL below is GENERATED from
+# them, so a deployment tunes recall/precision without touching query
+# text. Test-scale defaults (8 perms = 4 bands x 2 rows) keep the sf0.01
+# oracle fast; production near-dup dedup typically runs 128 perms as
+# 32x4 or 16x8 (candidate probability for a pair with Jaccard s:
+# 1 - (1 - s^ROWS_PER_BAND)^N_BANDS).
+N_BANDS = 4
+ROWS_PER_BAND = 2
+N_PERMS = N_BANDS * ROWS_PER_BAND
+
 _MINHASH_SPARK = f"""
 WITH toks AS (
   SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
@@ -121,16 +131,16 @@ hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         transform(sequence(0, 7),
+         transform(sequence(0, {N_PERMS - 1}),
              j -> array_min(transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
   FROM hs
 ),
 bands AS (
   SELECT doc_id, b,
-         {SPARK_H64.format(x="concat(cast(element_at(mins, 2*b+1) AS STRING), ':', cast(element_at(mins, 2*b+2) AS STRING))")} AS bkey
+         {SPARK_H64.format(x=f"concat_ws(':', transform(sequence(1, {ROWS_PER_BAND}), r -> cast(element_at(mins, b*{ROWS_PER_BAND}+r) AS STRING)))")} AS bkey
   FROM mh
-  LATERAL VIEW explode(sequence(0, 3)) AS b
+  LATERAL VIEW explode(sequence(0, {N_BANDS - 1})) AS b
 )
 SELECT doc_id, b, bkey FROM bands
 """
@@ -154,15 +164,15 @@ hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         list_transform(range(0, 8),
+         list_transform(range(0, {N_PERMS}),
              j -> list_min(list_transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
   FROM hs
 ),
 bands AS (
   SELECT doc_id, b,
-         {DUCK_H64.format(x="mins[(2*b+1)::int]::VARCHAR || ':' || mins[(2*b+2)::int]::VARCHAR")} AS bkey
-  FROM mh, (SELECT unnest(range(0, 4)) AS b)
+         {DUCK_H64.format(x=f"array_to_string(list_transform(range(1, {ROWS_PER_BAND + 1}), r -> mins[(b*{ROWS_PER_BAND}+r)::int]::VARCHAR), ':')")} AS bkey
+  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM bands a JOIN bands c
@@ -271,15 +281,15 @@ WITH hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         transform(sequence(0, 7),
+         transform(sequence(0, {N_PERMS - 1}),
              j -> array_min(transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
   FROM hs
 )
 SELECT doc_id, b,
-       {SPARK_H64.format(x="concat(cast(element_at(mins, 2*b+1) AS STRING), ':', cast(element_at(mins, 2*b+2) AS STRING))")} AS bkey
+       {SPARK_H64.format(x=f"concat_ws(':', transform(sequence(1, {ROWS_PER_BAND}), r -> cast(element_at(mins, b*{ROWS_PER_BAND}+r) AS STRING)))")} AS bkey
 FROM mh
-LATERAL VIEW explode(sequence(0, 3)) AS b
+LATERAL VIEW explode(sequence(0, {N_BANDS - 1})) AS b
 """
 
 _VERIFY_SPARK = """
@@ -337,15 +347,15 @@ hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         list_transform(range(0, 8),
+         list_transform(range(0, {N_PERMS}),
              j -> list_min(list_transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
   FROM hs
 ),
 bands AS (
   SELECT doc_id, b,
-         {DUCK_H64.format(x="mins[(2*b+1)::int]::VARCHAR || ':' || mins[(2*b+2)::int]::VARCHAR")} AS bkey
-  FROM mh, (SELECT unnest(range(0, 4)) AS b)
+         {DUCK_H64.format(x=f"array_to_string(list_transform(range(1, {ROWS_PER_BAND + 1}), r -> mins[(b*{ROWS_PER_BAND}+r)::int]::VARCHAR), ':')")} AS bkey
+  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b

@@ -6,6 +6,7 @@ the skewed t-bench table (1% mega conversations own ~29% of turns):
 A. conversation-grouped: groupBy(conv_id).applyInPandas extracting every
    payload of a conversation in one task — the "natural" formulation,
    which makes each mega conversation a straggler task;
+   (both plans run cache-bypassed so the comparison stays kernel-bound)
 B. salted turn-level (the engine's plan): repartition on
    pmod(xxhash64(conv_id, turn_idx), K) then the fused per-row UDF.
 
@@ -38,7 +39,8 @@ def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from pdf_inspector_spark.kernels.pipeline import process_pdf_mem
     rows = []
     for r in pdf.itertuples(index=False):
-        res = process_pdf_mem(r.text.encode("latin-1"), with_markdown=True)
+        res = process_pdf_mem(r.text.encode("latin-1"), with_markdown=True,
+                              use_cache=False)
         rows.append({"conv_id": r.conv_id, "turn_idx": r.turn_idx,
                      "text_out": res["text"]})
     return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_out"])
@@ -69,7 +71,8 @@ def main() -> None:
 
     # B: salted turn-level (the engine's plan)
     t0 = time.monotonic()
-    out = run_pipeline(df, with_markdown=True, salt_buckets=cpus * 4)
+    out = run_pipeline(df, with_markdown=True, salt_buckets=cpus * 4,
+                       payload_cache=False)
     out.where(out.text_out.isNotNull()).count()
     salted_sec = time.monotonic() - t0
 

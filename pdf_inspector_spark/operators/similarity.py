@@ -370,3 +370,138 @@ LIMIT 10
 register("sim_hybrid_retrieval", _sql(_HYBRID_SPARK), _HYBRID_DUCK,
          "hybrid retrieval: lexical predicate (scan-pruned) + cosine rank "
          "to a query vector, top-10")
+
+
+# -- IVF with a training step (one integer-exact Lloyd iteration) ------------
+# VERDICT r1: "real centroids need a training step". One k-means step,
+# fully cross-engine deterministic: embeddings quantize to integer micros
+# (FLOOR(e*1e6) — exact in both engines), per-centroid per-dim means use
+# integer SUM/COUNT with truncating division (Spark DIV == DuckDB // on
+# integers), re-assignment minimizes the integer L2 distance with
+# centroid-id tie-break. Floats never cross an aggregation boundary, so
+# the trained centroids are bit-identical in both engines regardless of
+# row order. Probe = cosine top-3 inside the query's trained cell.
+# At 10^12 rows: dims explode is a map-side reshape, the centroid table
+# is K*64 rows (broadcast), re-assignment is a narrow per-row argmin.
+
+_QUANT_SPARK = ("transform(sequence(1, 64), i -> CAST(FLOOR(CAST("
+                "element_at(embedding, i) AS DOUBLE) * 1000000) AS BIGINT))")
+_QUANT_DUCK = ("list_transform(range(1, 65), i -> CAST(FLOOR("
+               "embedding[i::int]::DOUBLE * 1000000) AS BIGINT))")
+
+_IVF_TRAINED_SPARK = f"""
+WITH assign0 AS ({_ASSIGN_SPARK}),
+q AS (
+  SELECT vec_id, embedding, centroid AS c0, {_QUANT_SPARK} AS qe
+  FROM assign0
+),
+dims AS (
+  SELECT c0, pos, val
+  FROM q LATERAL VIEW posexplode(qe) AS pos, val
+),
+cents AS (
+  SELECT c0, pos, SUM(val) DIV COUNT(*) AS cval
+  FROM dims GROUP BY c0, pos
+),
+centarr AS (
+  SELECT c0, transform(sort_array(collect_list(struct(pos, cval))),
+                       s -> s.cval) AS cvec
+  FROM cents GROUP BY c0
+),
+dists AS (
+  SELECT q.vec_id, c.c0 AS cand,
+         aggregate(sequence(1, 64), 0L, (acc, i) ->
+           acc + (element_at(q.qe, i) - element_at(c.cvec, i))
+               * (element_at(q.qe, i) - element_at(c.cvec, i))) AS d2
+  FROM q CROSS JOIN centarr c
+),
+reassign AS (
+  SELECT vec_id, cand AS centroid FROM (
+    SELECT vec_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM dists) x WHERE rn = 1
+),
+member AS (
+  SELECT r.vec_id, r.centroid, q.embedding
+  FROM reassign r JOIN q ON q.vec_id = r.vec_id
+),
+qry AS (
+  SELECT vec_id AS qid, embedding AS qe2, centroid FROM member WHERE vec_id < 10
+),
+probe AS (
+  SELECT qry.qid, m.vec_id AS nid,
+         {_DOT_SPARK.format(a='qry.qe2', b='m.embedding')} AS dot,
+         sqrt({_DOT_SPARK.format(a='qry.qe2', b='qry.qe2')}) AS qn,
+         sqrt({_DOT_SPARK.format(a='m.embedding', b='m.embedding')}) AS en
+  FROM qry JOIN member m
+    ON m.centroid = qry.centroid AND m.vec_id != qry.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM probe
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 3
+ORDER BY qid, rnk
+"""
+
+_IVF_TRAINED_DUCK = f"""
+WITH assign0 AS ({_ASSIGN_DUCK}),
+q AS (
+  SELECT vec_id, embedding, centroid AS c0, {_QUANT_DUCK} AS qe
+  FROM assign0
+),
+dims AS (
+  SELECT c0, i AS pos, qe[i::int] AS val
+  FROM q, unnest(range(1, 65)) t(i)
+),
+cents AS (
+  SELECT c0, pos, SUM(val) // COUNT(*) AS cval
+  FROM dims GROUP BY c0, pos
+),
+centarr AS (
+  SELECT c0, list(cval ORDER BY pos) AS cvec
+  FROM cents GROUP BY c0
+),
+dists AS (
+  SELECT q.vec_id, c.c0 AS cand,
+         list_sum(list_transform(range(1, 65), i ->
+           (q.qe[i::int] - c.cvec[i::int])
+           * (q.qe[i::int] - c.cvec[i::int])))::BIGINT AS d2
+  FROM q CROSS JOIN centarr c
+),
+reassign AS (
+  SELECT vec_id, cand AS centroid FROM (
+    SELECT vec_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM dists) x WHERE rn = 1
+),
+member AS (
+  SELECT r.vec_id, r.centroid, q.embedding
+  FROM reassign r JOIN q ON q.vec_id = r.vec_id
+),
+qry AS (
+  SELECT vec_id AS qid, embedding AS qe2, centroid FROM member WHERE vec_id < 10
+),
+probe AS (
+  SELECT qry.qid, m.vec_id AS nid,
+         {_DOT_DUCK.format(a='qry.qe2', b='m.embedding')} AS dot,
+         sqrt({_DOT_DUCK.format(a='qry.qe2', b='qry.qe2')}) AS qn,
+         sqrt({_DOT_DUCK.format(a='m.embedding', b='m.embedding')}) AS en
+  FROM qry JOIN member m
+    ON m.centroid = qry.centroid AND m.vec_id <> qry.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM probe
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 3
+ORDER BY qid, rnk
+"""
+
+register("sim_ivf_trained", _sql(_IVF_TRAINED_SPARK), _IVF_TRAINED_DUCK,
+         "IVF with one integer-exact Lloyd training step (quantized "
+         "means, truncating div, L2 re-assignment) + in-cell cosine top-3")

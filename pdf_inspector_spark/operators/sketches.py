@@ -71,3 +71,44 @@ FROM kmin
 register("sketch_kmv_distinct", _sql(_KMV_SPARK), _KMV_DUCK,
          "KMV distinct-count sketch over a shared deterministic hash — "
          "approximate yet bit-identical across engines (mergeable k-min sets)")
+
+
+# -- mergeable histogram-quantile sketch -------------------------------------
+# Fixed-width-bin histogram over order value: the classic mergeable
+# quantile sketch (bin counts simply add across partitions/partial
+# sketches — the map-side combine IS the merge). The only window runs
+# over the AGGREGATED histogram (#bins bounded by the value domain /
+# width, not by row count), so the plan stays scale-safe at 10^12 rows.
+# Integer bin ids via FLOOR (double→bigint CAST rounds in DuckDB but
+# truncates in Spark — FLOOR first makes both exact), integer cumulative
+# comparisons (cc*100 >= total*P) so no float crosses the engine
+# boundary.
+
+_BIN_WIDTH = 100  # dollars per bin
+
+_HISTQ = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS total
+  FROM hist
+)
+SELECT CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       MIN(CASE WHEN cc * 100 >= total * 50 THEN bin END) * {_BIN_WIDTH}
+         AS p50_lo,
+       MIN(CASE WHEN cc * 100 >= total * 90 THEN bin END) * {_BIN_WIDTH}
+         AS p90_lo,
+       MIN(CASE WHEN cc * 100 >= total * 99 THEN bin END) * {_BIN_WIDTH}
+         AS p99_lo
+FROM cum
+"""
+
+register("sketch_histogram_quantiles", _sql(_HISTQ), _HISTQ,
+         "mergeable fixed-bin histogram sketch → p50/p90/p99 lower bounds "
+         "(window only over the aggregated histogram, never raw rows)")

@@ -263,3 +263,89 @@ ORDER BY doc_id
 
 register("text_fingerprint", _sql(_FP_SPARK), _FP_DUCK,
          "rolling-hash winnowing fingerprint (min of windowed md5-60bit)")
+
+
+# -- train/test decontamination ----------------------------------------------
+# The training-data hygiene operator: flag documents whose word-8-gram
+# sets overlap a benchmark/eval set. The benchmark here is the
+# deterministic subset doc_id % 50 = 0; the corpus carries a "leaked
+# benchmark" overlay (those docs re-crawled under doc_id + 10^6) so the
+# operator's positive path is exercised — exactly the leak pattern
+# decontamination exists to catch. Grams travel as 60-bit hashes, never
+# strings; at 10^12 rows the benchmark gram table is the small side of a
+# broadcast join and candidate grams never shuffle.
+
+_DECON_SPARK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (
+  SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, explode(array_distinct(transform(sequence(1, size(ts) - 7),
+             i -> {SPARK_H64.format(x="concat_ws(' ', slice(ts, i, 8))")}))) AS gh
+  FROM toks WHERE size(ts) >= 8
+),
+bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 1000000
+),
+cand AS (
+  SELECT doc_id, gh FROM grams WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM cand c JOIN bench b ON c.gh = b.gh
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_overlap_8grams,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM grams
+      WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)) t
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+_DECON_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+             i -> {DUCK_H64.format(x="array_to_string(ts[i:i+7], ' ')")}))) AS gh
+  FROM toks WHERE len(ts) >= 8
+),
+bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 1000000
+),
+cand AS (
+  SELECT doc_id, gh FROM grams WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM cand c JOIN bench b ON c.gh = b.gh
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_overlap_8grams,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM grams
+      WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)) t
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+register("text_decontamination", _sql(_DECON_SPARK), _DECON_DUCK,
+         "train/test decontamination: word-8-gram overlap vs a benchmark "
+         "subset (hash-gram broadcast join; leaked-benchmark overlay)")

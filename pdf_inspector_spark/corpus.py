@@ -761,6 +761,42 @@ def _encrypted_doc() -> bytes:
                                    b"/Root 1 0 R /Encrypt 6 0 R")
 
 
+def _xref_stream_pdf() -> bytes:
+    """PDF 1.5 layout with a cross-reference STREAM and NO classic
+    xref/trailer keyword: /Root lives in the XRef stream's dict. The
+    loader must pick the trailer keys out of the /Type /XRef object
+    (validated on real system PDFs; this entry pins it hermetically)."""
+    import struct
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: _stream_obj(b"<< >>",
+                       b"BT /F1 12 Tf 72 700 Td (XRef stream layout) Tj ET"),
+        5: _HELV_FONT,
+    }
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    # entries 0..6: free, five type-1 objects, the XRef stream itself
+    rows = [(0, 0, 255)]
+    rows += [(1, offsets[n], 0) for n in sorted(objects)]
+    rows.append((1, xref_pos, 0))
+    data = b"".join(struct.pack(">BHB", t, o & 0xFFFF, g) for t, o, g in rows)
+    comp = zlib.compress(data)
+    out += (f"6 0 obj\n<< /Type /XRef /Size 7 /Root 1 0 R /W [1 2 1] "
+            f"/Filter /FlateDecode /Length {len(comp)} >>\nstream\n").encode()
+    out += comp + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 def build_corpus() -> list[CorpusEntry]:
     """The full deterministic corpus, in a stable order."""
     return [
@@ -838,6 +874,9 @@ def build_corpus() -> list[CorpusEntry]:
         CorpusEntry("encrypted", _encrypted_doc(), None,
                     "/Encrypt trailer → error row "
                     "(PdfError::Encrypted, src/lib.rs:141)"),
+        CorpusEntry("xref_stream", _xref_stream_pdf(), "text_based",
+                    "PDF 1.5 cross-reference stream, no classic trailer "
+                    "(Root from the /Type /XRef dict)"),
     ]
 
 

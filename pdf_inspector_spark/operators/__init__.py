@@ -44,5 +44,6 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
     from . import (conversation, dedup, extraction,  # noqa: F401
-                   multimodal, relational, similarity, sketches, textstats)
+                   multimodal, relational, similarity, sketches,
+                   streaming_ops, textstats)
     return REGISTRY

@@ -349,3 +349,125 @@ ORDER BY t.doc_id
 register("text_decontamination", _sql(_DECON_SPARK), _DECON_DUCK,
          "train/test decontamination: word-8-gram overlap vs a benchmark "
          "subset (hash-gram broadcast join; leaked-benchmark overlay)")
+
+
+# -- PII scrubbing ------------------------------------------------------------
+# Training-data hygiene: count and strip emails / phone-like numbers.
+# Patterns use only constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# backreferences/lookaround. The scrubbed text crosses the comparison
+# boundary as a hash.
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[+]?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+_PII_SPARK = f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         size(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS n_emails,
+         size(regexp_extract_all(text, '{_PHONE_RE}', 0)) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),
+                        '{_PHONE_RE}', '<PHONE>') AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       {SPARK_H64.format(x='clean')} AS clean_hash,
+       length(clean) AS n_chars_clean
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+_PII_DUCK = f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       {DUCK_H64.format(x='clean')} AS clean_hash,
+       length(clean) AS n_chars_clean
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+register("text_pii_scrub", _sql(_PII_SPARK), _PII_DUCK,
+         "PII scrubbing: email/phone counts + redacted-text hash "
+         "(regex subset with identical Java/RE2 semantics)")
+
+
+# -- repetition statistics (Gopher-style quality filters) --------------------
+# Duplicate-line fraction and top-bigram share as exact integer ratios
+# (×1000), computed with array expressions only — the repetition filters
+# every LLM data pipeline applies before training.
+
+_REP_SPARK = """
+WITH feats AS (
+  SELECT doc_id,
+         filter(split(text, '\\n'), x -> x != '') AS lines,
+         filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lines, ts,
+         filter(transform(sequence(1, greatest(size(ts) - 1, 1)),
+                   i -> CASE WHEN i + 1 <= size(ts)
+                        THEN concat(element_at(ts, i), ' ',
+                                    element_at(ts, i + 1)) END),
+                x -> x IS NOT NULL) AS bigrams
+  FROM feats
+)
+SELECT doc_id,
+       CAST(CASE WHEN size(lines) > 0
+            THEN (size(lines) - size(array_distinct(lines))) * 1000
+                 DIV size(lines) ELSE 0 END AS BIGINT) AS dup_line_milli,
+       CAST(CASE WHEN size(bigrams) > 0
+            THEN aggregate(array_distinct(bigrams), 0,
+                   (acc, g) -> greatest(acc,
+                     size(filter(bigrams, x -> x = g)))) * 1000
+                 DIV size(bigrams) ELSE 0 END AS BIGINT)
+         AS top_bigram_milli,
+       CAST(size(ts) AS BIGINT) AS n_tokens
+FROM bi
+ORDER BY doc_id
+"""
+
+_REP_DUCK = """
+WITH feats AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lines, ts,
+         list_filter(list_transform(range(1, greatest(len(ts) - 1, 1) + 1),
+                        i -> CASE WHEN i + 1 <= len(ts)
+                             THEN ts[i::int] || ' ' || ts[i::int + 1] END),
+                     x -> x IS NOT NULL) AS bigrams
+  FROM feats
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(lines) > 0
+            THEN (len(lines) - len(list_distinct(lines))) * 1000
+                 // len(lines) ELSE 0 END AS BIGINT) AS dup_line_milli,
+       CAST(CASE WHEN len(bigrams) > 0
+            THEN list_max(list_transform(list_distinct(bigrams),
+                   g -> len(list_filter(bigrams, x -> x = g)))) * 1000
+                 // len(bigrams) ELSE 0 END AS BIGINT)
+         AS top_bigram_milli,
+       CAST(len(ts) AS BIGINT) AS n_tokens
+FROM bi
+ORDER BY doc_id
+"""
+
+register("text_repetition_stats", _sql(_REP_SPARK), _REP_DUCK,
+         "Gopher-style repetition filters: duplicate-line fraction and "
+         "top-bigram share as exact milli-ratios")

@@ -36,7 +36,14 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver tables as temp views (idempotent)."""
+    """Register the driver tables as temp views (idempotent).
+
+    Also pins the session timezone to UTC: parquet timestamps load as
+    NTZ wall-clock, and every operator that converts one to epoch
+    seconds (unix_seconds / window boundaries) would otherwise inherit
+    whatever zone the CALLER's session runs in — the DuckDB oracle
+    always treats naive timestamps as UTC, so the contract is UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

@@ -36,6 +36,7 @@ def _run_available_now(stream_df, name_prefix: str, spark: SparkSession):
 
 def _stream_source_counts(spark: SparkSession, sf_dir: str):
     """File-source stream over the documents table → per-source counts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file source requires a DIRECTORY: stream the sf dir with a
     # glob filter selecting just this table's file.
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -63,6 +64,7 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str):
     bounded run emits every window, so the final complete-mode state
     equals the batch truth. Window boundary crosses the engine boundary
     as epoch seconds (BIGINT)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle contract
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))

@@ -14,8 +14,10 @@ parser tolerant of truncated xrefs, appended increments and linearization.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
+from collections import OrderedDict
 from typing import Any
 
 
@@ -313,6 +315,10 @@ class _Lexer:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer")
+# Cross-document parsed-object intern pool (see Document.load_mem).
+_INTERN_MAX = 8192
+_INTERN_SPAN_MAX = 1 << 16
+_obj_intern: "OrderedDict[bytes, Any]" = OrderedDict()
 # 'endstream' keyword expected right after a /Length-sized slice,
 # tolerating the spec's optional EOL (and a little stray whitespace).
 _ENDSTREAM_AT_RE = re.compile(rb"[\x00\t\n\x0c\r ]{0,4}endstream")
@@ -332,15 +338,37 @@ class Document:
         if not buf.lstrip()[:5].startswith(b"%PDF-"):
             raise ValueError("not a PDF: missing %PDF header")
         doc = cls()
+        intern = _obj_intern
         for m in _OBJ_RE.finditer(buf):
             num = int(m.group(1))
-            lex = _Lexer(buf, m.end())
+            start = m.end()
+            # Cross-document object interning: font programs, width
+            # tables, and page templates repeat byte-identically across a
+            # corpus. Key = md5 of the span up to 'endobj'; an entry is
+            # stored ONLY when the parse consumed no bytes past that span
+            # (so identical spans guarantee identical parses even if a
+            # stream payload contains a bogus 'endobj'). Parsed objects
+            # are never mutated after load — interning shares them.
+            e = buf.find(b"endobj", start)
+            key = None
+            if e != -1 and e - start <= _INTERN_SPAN_MAX:
+                key = hashlib.md5(buf[start:e]).digest()
+                hit = intern.get(key)
+                if hit is not None:
+                    intern.move_to_end(key)
+                    doc.objects[num] = hit
+                    continue
+            lex = _Lexer(buf, start)
             try:
                 obj = lex.parse_object()
             except (ValueError, IndexError, RecursionError):
                 continue
             # Later definitions win (incremental updates append).
             doc.objects[num] = obj
+            if key is not None and lex.pos <= e:
+                intern[key] = obj
+                if len(intern) > _INTERN_MAX:
+                    intern.popitem(last=False)
         # Expand object streams (ObjStm): modern PDFs store most objects
         # compressed inside container streams. Direct definitions win.
         for container in list(doc.objects.values()):

@@ -64,3 +64,45 @@ def test_inline_image_unterminated_consumes_rest():
     content = (b"BT (x) Tj ET\nBI /W 1 ID \xff\xfeEIX")  # no delimited EI
     ops = decode_content(content)
     assert [o.operator for o in ops][-1] == "ET"
+
+
+def test_object_intern_never_shares_across_divergent_tails():
+    """Cross-doc object interning (pdfobj._obj_intern) must not reuse a
+    parse when the object's bytes continue past a bogus 'endobj' inside
+    its stream payload: two buffers identical up to that bogus marker
+    but different afterwards must parse to their own (different)
+    streams. The guard is store-only-when-parse-stayed-inside-span."""
+    data_a = b"AAAA endobj TAIL-A-" + b"a" * 16
+    data_b = b"AAAA endobj TAIL-B-" + b"b" * 16
+    assert data_a[:12] == data_b[:12]  # identical through the bogus endobj
+
+    def pdf(payload: bytes) -> bytes:
+        body = (b"<< /Length " + str(len(payload)).encode()
+                + b" >>\nstream\n" + payload + b"\nendstream")
+        return (b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+                b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n")
+
+    sa = Document.load_mem(pdf(data_a)).objects[1]
+    sb = Document.load_mem(pdf(data_b)).objects[1]
+    assert isinstance(sa, Stream) and isinstance(sb, Stream)
+    assert sa.raw == data_a
+    assert sb.raw == data_b
+    assert sa.raw != sb.raw
+
+
+def test_object_intern_shares_identical_font_objects():
+    """The intended fast path: byte-identical objects across documents
+    resolve to the SAME parsed object (shared, read-only)."""
+    from pdf_inspector_spark.corpus import _tj_basic, _tj_multiline
+    da = Document.load_mem(_tj_basic())
+    db = Document.load_mem(_tj_multiline())
+
+    def font_obj(doc):
+        for obj in doc.objects.values():
+            if isinstance(obj, dict) and obj.get("Type") == "Font":
+                return obj
+        return None
+
+    fa, fb = font_obj(da), font_obj(db)
+    assert fa is not None and fb is not None
+    assert fa is fb  # interned: same object identity

@@ -594,8 +594,29 @@ _CONTENT_TOKEN_RE = re.compile(
     rb")", re.DOTALL)
 
 
+# Decoded content-stream cache: content streams repeat byte-identically
+# across template documents. The returned Operation list is shared and
+# read-only by contract (the interpreter only iterates it).
+_DECODE_MAX = 2048
+_decode_cache: "OrderedDict[bytes, list[Operation]]" = OrderedDict()
+
+
 def decode_content(data: bytes) -> list[Operation]:
-    """Decode a content stream into a list of operations."""
+    """Decode a content stream into a list of operations (memoized on
+    md5 of the stream bytes; see _decode_cache)."""
+    key = hashlib.md5(data).digest()
+    hit = _decode_cache.get(key)
+    if hit is not None:
+        _decode_cache.move_to_end(key)
+        return hit
+    ops = _decode_content_uncached(data)
+    _decode_cache[key] = ops
+    if len(_decode_cache) > _DECODE_MAX:
+        _decode_cache.popitem(last=False)
+    return ops
+
+
+def _decode_content_uncached(data: bytes) -> list[Operation]:
     ops: list[Operation] = []
     operands: list[Any] = []
     lex = _Lexer(data)

@@ -95,7 +95,7 @@ def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
     spark.stop()
     # Hardware ceiling at the same level, measured immediately after (same
     # thermal state): the same kernel work with zero Spark.
-    hw = hardware_baseline([cpus], docs_per_proc=30000 if cached else 800,
+    hw = hardware_baseline([cpus], docs_per_proc=60000 if cached else 2400,
                            use_cache=cached)[cpus]
     return {"cpus": cpus, "scale": scale, "cached": cached, "turns": n_turns,
             "processed": processed, "sec": round(elapsed, 3),

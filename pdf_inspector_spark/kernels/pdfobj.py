@@ -316,7 +316,10 @@ class _Lexer:
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer")
 # Cross-document parsed-object intern pool (see Document.load_mem).
-_INTERN_MAX = 8192
+# Worst-case memory is bounded by entries x span cap (a Stream keeps its
+# raw bytes): 2048 x 64KB = 128MB per executor process, far under the
+# ~4GB/worker budget at local[32]; typical entries are a few hundred B.
+_INTERN_MAX = 2048
 _INTERN_SPAN_MAX = 1 << 16
 _obj_intern: "OrderedDict[bytes, Any]" = OrderedDict()
 # 'endstream' keyword expected right after a /Length-sized slice,
@@ -597,13 +600,16 @@ _CONTENT_TOKEN_RE = re.compile(
 # Decoded content-stream cache: content streams repeat byte-identically
 # across template documents. The returned Operation list is shared and
 # read-only by contract (the interpreter only iterates it).
-_DECODE_MAX = 2048
+_DECODE_MAX = 512
+_DECODE_DATA_MAX = 1 << 16  # don't cache decodes of very large streams
 _decode_cache: "OrderedDict[bytes, list[Operation]]" = OrderedDict()
 
 
 def decode_content(data: bytes) -> list[Operation]:
     """Decode a content stream into a list of operations (memoized on
     md5 of the stream bytes; see _decode_cache)."""
+    if len(data) > _DECODE_DATA_MAX:
+        return _decode_content_uncached(data)
     key = hashlib.md5(data).digest()
     hit = _decode_cache.get(key)
     if hit is not None:

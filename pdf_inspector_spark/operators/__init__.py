@@ -35,8 +35,13 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings")
 
 
+_LOADED_VIEWS: set[tuple[int, str]] = set()
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver tables as temp views (idempotent).
+    """Register the driver tables as temp views (idempotent, memoized:
+    re-registering ten parquet views costs a listing+schema round trip
+    per table and every operator calls this).
 
     Also pins the session timezone to UTC: parquet timestamps load as
     NTZ wall-clock, and every operator that converts one to epoch
@@ -44,8 +49,12 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     whatever zone the CALLER's session runs in — the DuckDB oracle
     always treats naive timestamps as UTC, so the contract is UTC."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir)
+    if key in _LOADED_VIEWS:
+        return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _LOADED_VIEWS.add(key)
 
 
 def all_operators() -> dict[str, Operator]:

@@ -71,7 +71,9 @@ def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
     jvm_opts = os.environ.get(
         "SPARK_GRAFT_JVM_OPTS",
         "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2")
+    arrow_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
     spark = get_spark(f"bench-extract-{cpus}", cpus=cpus,
+                      arrow_batch_rows=arrow_rows,
                       extra_conf={"spark.driver.extraJavaOptions": jvm_opts})
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(tpath)
@@ -171,6 +173,36 @@ def run_analytics(sf_dir: str, cpus: int) -> dict[str, float]:
 
 
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cached-ladder":
+        # Production-path (LRU on) N→4N scaling at t-large (~1.6M turns:
+        # the cached job runs long enough to measure). Opt-in — not part
+        # of the default driver bench. Interleaved two passes per level.
+        from pdf_inspector_spark.transcripts import write_transcripts
+        write_transcripts("t-large")
+        lo, hi = max(CPUS // 4, 1), CPUS
+        best: dict[int, dict] = {}
+        for cpus in (lo, hi, lo, hi):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(cpus), "t-large", "cached"],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if cpus not in best or r["turns_per_sec"] > best[cpus]["turns_per_sec"]:
+                best[cpus] = r
+        eff = best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"] / (hi / lo)
+        print(json.dumps({
+            "mode": "cached_ladder", "scale": "t-large",
+            "turns": best[hi]["turns"],
+            f"turns_per_sec_n{lo}": best[lo]["turns_per_sec"],
+            f"turns_per_sec_n{hi}": best[hi]["turns_per_sec"],
+            f"sec_n{lo}": best[lo]["sec"], f"sec_n{hi}": best[hi]["sec"],
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+            f"hw_ceiling_n{lo}": best[lo]["hw_ceiling_docs_per_sec"],
+            f"hw_ceiling_n{hi}": best[hi]["hw_ceiling_docs_per_sec"],
+        }))
+        return
+
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         cpus, scale = int(sys.argv[2]), sys.argv[3]
         cached = (sys.argv[4] != "nocache") if len(sys.argv) > 4 else True

@@ -37,6 +37,10 @@ SCALES = {
     "t-small": (20, 30, 7),
     "t-med": (500, 600, 27),
     "t-bench": (5000, 1200, 57),
+    # ~1.6M turns: big enough that the CACHED pipeline runs >10s at 8
+    # cores, so the production path's N→4N scaling is measurable too
+    # (opt-in via bench.py --cached-ladder; not part of the default run).
+    "t-large": (40000, 1200, 57),
 }
 
 _ROLES = ("user", "assistant", "tool")

@@ -541,3 +541,34 @@ def test_f32_boundary_detect_columns_gap():
                         700.0 - 14.0 * i, 420.0, 12.0, "F1", 12.0, 1)
                for i in range(12)]
     assert len(detect_columns(one_col, 1)) == 1  # one region = one column
+
+
+def test_f32_boundary_table_font_bands():
+    """detect_tables font bands (src/tables.rs:30-109): pass 1 takes
+    6.0 <= fs <= base*0.90, pass 2 takes base*0.85 <= fs <= base*1.05.
+    Pin the inclusive boundaries at f32-representable sizes: with
+    base=10, a 9.0pt table sits exactly ON the pass-1 edge (10*0.9 = 9.0
+    exactly in both f32 and f64 — 0.9 rounds identically relative to the
+    product) and must be detected; 10.5pt sits on the pass-2 upper edge."""
+    def grid(fs):
+        items = []
+        for (row_y, cells) in [
+            (500.0, ["Name", "Price", "Qty", "Total"]),
+            (480.0, ["Widget", "5.00", "10", "50.00"]),
+            (460.0, ["Gadget", "12.50", "4", "50.00"]),
+            (440.0, ["Gizmo", "3.25", "20", "65.00"]),
+        ]:
+            for x, t in zip((100.0, 200.0, 300.0, 400.0), cells):
+                items.append(_item(t, x, row_y, fs))
+        return items
+
+    # exactly on the pass-1 upper edge (<= is inclusive)
+    assert len(detect_tables(grid(9.0), 10.0)) == 1
+    # just above pass-1 but inside pass-2's [8.5, 10.5] band
+    assert len(detect_tables(grid(10.0), 10.0)) == 1
+    # exactly on the pass-2 upper edge (inclusive)
+    assert len(detect_tables(grid(10.5), 10.0)) == 1
+    # above both bands: no detection path accepts 11pt at base 10
+    assert detect_tables(grid(11.0), 10.0) == []
+    # below the 6.0pt floor of both passes
+    assert detect_tables(grid(5.5), 10.0) == []

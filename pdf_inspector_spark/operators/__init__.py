@@ -35,7 +35,9 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings")
 
 
-_LOADED_VIEWS: set[tuple[int, str]] = set()
+# session id -> sf_dir the views CURRENTLY point at (not a set: switching
+# A -> B -> A must re-register, or A's queries would read B's views)
+_LOADED_VIEWS: dict[int, str] = {}
 
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
@@ -49,12 +51,11 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     whatever zone the CALLER's session runs in — the DuckDB oracle
     always treats naive timestamps as UTC, so the contract is UTC."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir)
-    if key in _LOADED_VIEWS:
+    if _LOADED_VIEWS.get(id(spark)) == sf_dir:
         return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _LOADED_VIEWS.add(key)
+    _LOADED_VIEWS[id(spark)] = sf_dir
 
 
 def all_operators() -> dict[str, Operator]:

@@ -77,3 +77,29 @@ def test_huge_flat_content_bounded():
     r = process_pdf_mem(build_pdf(objs))
     assert time.monotonic() - t0 < 20.0
     assert r["pdf_type"] == "text_based"
+
+
+def test_adversarial_length_values_never_raise():
+    """/Length slicing: wrong, negative, huge, non-integer and Ref-valued
+    /Length entries must all fall back to the scan and never raise."""
+    for length in (b"-5", b"0", b"3", b"999999999", b"2 0 R", b"(x)", b"1.5"):
+        body = (b"<< /Length " + length + b" >>\nstream\n"
+                b"real stream data here\nendstream")
+        pdf = (b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+               b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n")
+        r = process_pdf_mem(pdf, use_cache=False)
+        assert isinstance(r, dict)  # error-row or parsed; never a raise
+
+
+def test_embedded_endstream_with_exact_length_roundtrip():
+    """Payload containing the literal bytes '\\nendstream' with a correct
+    /Length must survive byte-for-byte (the r1-ADVICE truncation bug)."""
+    from pdf_inspector_spark.kernels.pdfobj import Document, Stream
+    payload = b"A" * 10 + b"\nendstream\n" + b"B" * 10
+    body = (b"<< /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"\nendstream")
+    pdf = (b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+           b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n")
+    st = Document.load_mem(pdf).objects[1]
+    assert isinstance(st, Stream)
+    assert st.raw == payload

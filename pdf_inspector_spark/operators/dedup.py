@@ -469,3 +469,99 @@ register("dedup_cluster_components", _cluster_spark, _cluster_duck_sql(),
          "duplicate clusters = connected components over LSH candidate "
          "edges; iterative min-label propagation (Spark) vs recursive CTE "
          "(oracle) — the one genuinely iterative operator")
+
+
+# -- duplicate clusters, star-contraction variant ----------------------------
+# Alternating large-star / small-star contraction (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", public algorithm):
+# converges in O(log n) rounds independent of component DIAMETER, where
+# min-label propagation above needs O(diameter) rounds — the difference
+# between 8 and 10^4 rounds on a 10^12-row near-dup chain. Each round is
+# two groupBy+join passes over the edge list; same recursive-CTE oracle
+# as dedup_cluster_components.
+
+
+def star_components(edges, nodes, max_rounds: int = 20):
+    """Alternating large-star/small-star contraction over an edge
+    DataFrame (u, v) → (doc_id, cluster_id) labels for every node in
+    ``nodes``. Returns (labels_df, rounds_used). Each round is two
+    groupBy+join passes; converges in O(log n) rounds regardless of
+    component diameter."""
+    import pyspark.sql.functions as F
+
+    def large_star(e):
+        # undirected neighborhood; attach strictly-greater neighbors to
+        # the neighborhood minimum
+        nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbr.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (nbr.where(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(e):
+        # orient child -> smaller parent; attach all smaller neighbors
+        # (and the node itself) to the minimum parent
+        d = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        attach_parents = (d.join(mins, "u")
+                          .where(F.col("v") != F.col("m"))
+                          .select(F.col("v").alias("u"),
+                                  F.col("m").alias("v")))
+        attach_self = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (attach_parents.union(attach_self)
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def fingerprint(e) -> tuple:
+        # bit_xor never overflows (sum of 64-bit hashes would under ANSI)
+        row = (e.agg(F.count("*").alias("n"),
+                     F.expr("bit_xor(xxhash64(u, v))").alias("h"))
+               .collect())[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        fp = fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    # converged: every non-root points directly at its component root
+    final = edges.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("root"))
+    labels = (nodes.join(final, "doc_id", "left")
+              .select(F.col("doc_id"),
+                      F.coalesce(F.col("root"), F.col("doc_id"))
+                      .alias("cluster_id")))
+    return labels, rounds
+
+
+def _cluster_star_spark(spark, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    from . import load_views
+    load_views(spark, sf_dir)
+    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
+    a, c = bands.alias("a"), bands.alias("c")
+    edges = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                    & (F.col("a.bkey") == F.col("c.bkey"))
+                    & (F.col("a.doc_id") < F.col("c.doc_id")))
+             .select(F.col("a.doc_id").alias("u"),
+                     F.col("c.doc_id").alias("v"))
+             .distinct().localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select(F.col("v").alias("doc_id")))
+             .distinct().localCheckpoint())
+    labels, _rounds = star_components(edges, nodes)
+    return labels.orderBy("doc_id")
+
+
+register("dedup_cluster_star", _cluster_star_spark, _cluster_duck_sql(),
+         "duplicate clusters via alternating large-star/small-star "
+         "contraction — O(log n) rounds vs O(diameter) for label "
+         "propagation; same recursive-CTE oracle")

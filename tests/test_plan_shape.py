@@ -62,3 +62,60 @@ def test_exact_dedup_aggregates_with_partial_merge(spark, sf_available):
     plan = _plan(spark.sql(_EXACT_SPARK))
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_star_contraction_converges_in_log_rounds(spark):
+    """Star contraction's value proposition: a 64-node PATH (diameter 63)
+    converges in O(log n) rounds where min-label propagation would need
+    ~63. All nodes must label to the path minimum."""
+    import pyspark.sql.functions as F
+
+    from pdf_inspector_spark.operators.dedup import star_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "u long, v long").localCheckpoint()
+    nodes = spark.range(64).select(F.col("id").alias("doc_id"))
+    labels, rounds = star_components(edges, nodes)
+    rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(64)}
+    assert rounds <= 10, f"expected O(log n) convergence, took {rounds}"
+
+
+def test_star_contraction_matches_propagation_on_random_graph(spark):
+    """Property check: star contraction and a NetworkX-free exact union-
+    find agree on a deterministic pseudo-random graph."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from pdf_inspector_spark.operators.dedup import star_components
+    n, m = 200, 150
+    pairs = []
+    for i in range(m):
+        h = int.from_bytes(hashlib.md5(f"e{i}".encode()).digest()[:8], "big")
+        a, b = h % n, (h >> 20) % n
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    # exact union-find ground truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for x in set(a for p in pairs for a in p):
+        truth[x] = find(x)
+    # min-root canonicalization: find() with min-merge yields the min id
+    edges = spark.createDataFrame(sorted(set(pairs)),
+                                  "u long, v long").localCheckpoint()
+    nodes = spark.createDataFrame([(x,) for x in sorted(truth)],
+                                  "doc_id long")
+    labels, _ = star_components(edges, nodes)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == truth

@@ -112,3 +112,64 @@ FROM cum
 register("sketch_histogram_quantiles", _sql(_HISTQ), _HISTQ,
          "mergeable fixed-bin histogram sketch → p50/p90/p99 lower bounds "
          "(window only over the aggregated histogram, never raw rows)")
+
+
+# -- sketch mergeability proof ------------------------------------------------
+# The property that matters at 10^12 rows, demonstrated EXECUTABLY: build
+# the histogram sketch independently on two disjoint halves of orders
+# (o_orderkey parity — in production, two partitions/days/shards), merge
+# by adding bin counts, and emit the merged quantiles NEXT TO the
+# direct whole-table quantiles. The oracle (and the driver hash gate)
+# then certifies merged == direct.
+
+_HISTQ_MERGE = f"""
+WITH h0 AS (
+  SELECT CAST(FLOOR(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+h1 AS (
+  SELECT CAST(FLOOR(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+),
+merged AS (
+  SELECT bin, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT bin, c FROM h0 UNION ALL SELECT bin, c FROM h1) u
+  GROUP BY bin
+),
+direct AS (
+  SELECT CAST(FLOOR(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT 'merged' AS src, bin, c,
+         CAST(SUM(c) OVER (PARTITION BY 'm' ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY 'm') AS BIGINT) AS total
+  FROM merged
+  UNION ALL
+  SELECT 'direct' AS src, bin, c,
+         CAST(SUM(c) OVER (PARTITION BY 'd' ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY 'd') AS BIGINT) AS total
+  FROM direct
+)
+SELECT src,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cc * 100 >= total * 50 THEN bin END) * {_BIN_WIDTH}
+         AS p50_lo,
+       MIN(CASE WHEN cc * 100 >= total * 90 THEN bin END) * {_BIN_WIDTH}
+         AS p90_lo,
+       MIN(CASE WHEN cc * 100 >= total * 99 THEN bin END) * {_BIN_WIDTH}
+         AS p99_lo
+FROM q
+GROUP BY src
+ORDER BY src
+"""
+
+register("sketch_histogram_merge", _sql(_HISTQ_MERGE), _HISTQ_MERGE,
+         "mergeability proof: per-shard histogram sketches merged by "
+         "bin-count addition produce the same quantiles as the direct "
+         "whole-table sketch (both rows must agree)")

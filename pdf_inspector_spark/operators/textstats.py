@@ -471,3 +471,114 @@ ORDER BY doc_id
 register("text_repetition_stats", _sql(_REP_SPARK), _REP_DUCK,
          "Gopher-style repetition filters: duplicate-line fraction and "
          "top-bigram share as exact milli-ratios")
+
+
+# -- stratified hash sampling -------------------------------------------------
+# Training-mix construction: per-source sampling rates applied via the
+# shared deterministic hash (h % 1000 < rate_milli) — reproducible on any
+# engine/cluster, no RNG state, join-free re-derivation for lineage. The
+# rate table is a broadcastable literal; at 10^12 rows the filter is a
+# scan-side predicate.
+
+_RATES_CASE = ("CASE source WHEN 'wiki' THEN 900 WHEN 'web' THEN 250 "
+               "WHEN 'forum' THEN 500 ELSE 100 END")
+
+_STRAT_SPARK = f"""
+WITH sampled AS (
+  SELECT doc_id, source,
+         {SPARK_H64.format(x="concat('sample:', cast(doc_id AS STRING))")} % 1000 AS h,
+         {_RATES_CASE} AS rate_milli
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(rate_milli) AS BIGINT) AS rate_milli,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN h < rate_milli THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM sampled
+GROUP BY source
+ORDER BY source
+"""
+
+_STRAT_DUCK = f"""
+WITH sampled AS (
+  SELECT doc_id, source,
+         {DUCK_H64.format(x="'sample:' || doc_id::VARCHAR")} % 1000 AS h,
+         {_RATES_CASE} AS rate_milli
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(rate_milli) AS BIGINT) AS rate_milli,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN h < rate_milli THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM sampled
+GROUP BY source
+ORDER BY source
+"""
+
+register("text_stratified_sample", _sql(_STRAT_SPARK), _STRAT_DUCK,
+         "deterministic stratified sampling: per-source rates via the "
+         "shared 60-bit hash (reproducible, scan-side predicate)")
+
+
+# -- sequence packing ----------------------------------------------------------
+# Greedy-by-order packing of documents into ~4096-token training
+# sequences, per source: pack_id = floor(cumulative_tokens / budget)
+# under a deterministic (source, doc_id) order. A per-source window —
+# partition-parallel; at 10^12 rows each source packs independently.
+
+_PACK_SPARK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              / 4096 AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+_PACK_DUCK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              / 4096.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+register("text_pack_sequences", _sql(_PACK_SPARK), _PACK_DUCK,
+         "sequence packing: cumulative-token binning into 4096-token "
+         "training packs per source (partition-parallel window)")

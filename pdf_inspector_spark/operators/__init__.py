@@ -62,5 +62,5 @@ def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
     from . import (conversation, dedup, extraction,  # noqa: F401
                    multimodal, relational, similarity, sketches,
-                   streaming_ops, textstats)
+                   streaming_ops, textstats, transcript_stats)
     return REGISTRY

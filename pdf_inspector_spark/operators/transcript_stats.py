@@ -1,0 +1,107 @@
+"""Analytics over the transcripts table itself (the north rule's input:
+conv_id, turn_idx, role, text, tool, ts) — role/tool mix and per-
+conversation temporal shape. Both engines read the SAME parquet
+directory; timestamps cross the boundary as epoch seconds under the
+UTC session pin (see operators.load_views rationale).
+
+At 10^12 turns: role stats are a two-phase hash aggregate; gap stats are
+a per-conversation window (partition-parallel — mega conversations bound
+the partition, not the plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from . import register
+from ..transcripts import DATA_DIR
+
+_TPATH = os.path.join(DATA_DIR, "transcripts_t-small.parquet")
+
+
+def _view(spark: SparkSession):
+    from ..transcripts import write_transcripts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = write_transcripts("t-small")
+    spark.read.parquet(path).createOrReplaceTempView("transcripts")
+
+
+_ROLE_SPARK = """
+SELECT role,
+       COUNT(*) AS n_turns,
+       COUNT(DISTINCT conv_id) AS n_convs,
+       COUNT(DISTINCT tool) AS n_tools,
+       CAST(SUM(length(text)) AS BIGINT) AS total_payload_chars
+FROM transcripts
+GROUP BY role
+ORDER BY role
+"""
+
+
+def _role_stats(spark: SparkSession, sf_dir: str):
+    _view(spark)
+    return spark.sql(_ROLE_SPARK)
+
+
+_ROLE_DUCK = f"""
+SELECT role,
+       COUNT(*) AS n_turns,
+       COUNT(DISTINCT conv_id) AS n_convs,
+       COUNT(DISTINCT tool) AS n_tools,
+       CAST(SUM(length(text)) AS BIGINT) AS total_payload_chars
+FROM read_parquet('{_TPATH}/*.parquet')
+GROUP BY role
+ORDER BY role
+"""
+
+register("conv_role_stats", _role_stats, _ROLE_DUCK,
+         "role/tool mix over the transcripts table (two-phase hash agg)")
+
+
+_GAPS_SPARK = """
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         unix_seconds(CAST(ts AS TIMESTAMP)) AS es,
+         LAG(unix_seconds(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_es
+  FROM transcripts
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS span_sec,
+       CAST(MAX(es - prev_es) AS BIGINT) AS max_gap_sec,
+       CAST(MIN(es - prev_es) AS BIGINT) AS min_gap_sec
+FROM g
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
+def _turn_gaps(spark: SparkSession, sf_dir: str):
+    _view(spark)
+    return spark.sql(_GAPS_SPARK)
+
+
+_GAPS_DUCK = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         CAST(epoch(ts) AS BIGINT) AS es,
+         LAG(CAST(epoch(ts) AS BIGINT))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_es
+  FROM read_parquet('{_TPATH}/*.parquet')
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS span_sec,
+       CAST(MAX(es - prev_es) AS BIGINT) AS max_gap_sec,
+       CAST(MIN(es - prev_es) AS BIGINT) AS min_gap_sec
+FROM g
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+register("conv_turn_gaps", _turn_gaps, _GAPS_DUCK,
+         "per-conversation temporal shape: span and inter-turn gaps "
+         "(epoch BIGINT; partition-parallel window)")

@@ -143,3 +143,20 @@ def test_binary_payload_column(spark, tmp_path):
     assert out[0]["text_out"].startswith("Hello World")
     assert out[1]["pdf_type"] == "scanned"
     assert out[2]["error_kind"] is not None
+
+
+def test_cache_bypassed_pipeline_identical(spark, tsmall_path, result_df):
+    """payload_cache=False (the scaling-ladder mode) must produce rows
+    identical to the cached production path — the LRU is an optimization,
+    never a semantic switch."""
+    df = spark.read.parquet(tsmall_path)
+    raw = with_turn_order(run_pipeline(df, with_markdown=True,
+                                       payload_cache=False))
+    cols = ["conv_id", "turn_idx", "pdf_type", "text_out", "markdown",
+            "error_kind", "n_spans"]
+    a = (raw.withColumn("n_spans", F.coalesce(F.size("spans"), F.lit(0)))
+         .select(cols).orderBy("conv_id", "turn_idx").collect())
+    b = (result_df.withColumn("n_spans",
+                              F.coalesce(F.size("spans"), F.lit(0)))
+         .select(cols).orderBy("conv_id", "turn_idx").collect())
+    assert a == b

@@ -2,6 +2,13 @@
 MinHash+LSH (shingle→minhash→band→bucket-join), SimHash, and n-gram
 Jaccard verification.
 
+Public-literature lineage: MinHash resemblance sketches (Broder 1997,
+"On the resemblance and containment of documents"); banded LSH
+(Indyk–Motwani 1998 / Leskovec-Rajaraman-Ullman, "Mining of Massive
+Datasets" ch. 3); SimHash (Charikar 2002, STOC); connected components
+by alternating star contraction (Kiveris et al. 2014, "Connected
+Components in MapReduce and Beyond", SoCC).
+
 Everything is column expressions — shingling, hashing, min-folding and
 banding all run JVM-side via higher-order array functions, so the hot
 path never leaves Tungsten. The band bucket join is the scale path: at

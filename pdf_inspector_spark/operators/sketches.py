@@ -1,5 +1,9 @@
 """Deterministic sketches.
 
+Public-literature lineage: KMV distinct-count sketches (Bar-Yossef et
+al. 2002, "Counting distinct elements in a data stream"); mergeable
+summaries (Agarwal et al. 2012, PODS).
+
 KMV (k-minimum-values) distinct-count sketch: hash every value with the
 shared cross-engine 60-bit hash, keep the k smallest hashes; the
 estimator is (k-1) * HASH_SPACE / kth_min. Unlike HLL implementations

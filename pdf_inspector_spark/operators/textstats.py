@@ -2,6 +2,11 @@
 (stopword-ratio heuristic), quality scoring, token counting, and
 rolling-hash document fingerprinting.
 
+Public-literature lineage: winnowing fingerprints (Schleimer-Wilkerson-
+Aiken 2003, SIGMOD); repetition/quality filters in the style of Gopher
+(Rae et al. 2021) and C4 (Raffel et al. 2020); n-gram train/test
+decontamination as practiced in GPT-3/PaLM reports (public).
+
 All computations are pure column expressions (JVM-side in Spark — no
 Python in the hot path) with integer/exact arithmetic wherever a value
 crosses the Spark↔DuckDB comparison boundary.

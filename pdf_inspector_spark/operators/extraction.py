@@ -24,22 +24,32 @@ from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
 EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v6.parquet")
+EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v6.parquet")
+
+_EXPECTED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("doc_id", pa.string()), ("pdf_type", pa.string()),
+    ("text", pa.string()), ("markdown", pa.string()),
+    ("error_kind", pa.string()), ("n_spans", pa.int32()),
+    ("ocr_recommended", pa.bool_()),
+])
+
+
+def _write_expected(scale: str, path: str) -> None:
+    if not os.path.exists(path):
+        rows = expected_turns(scale)
+        table = pa.Table.from_pylist(rows, schema=_EXPECTED_SCHEMA)
+        os.makedirs(DATA_DIR, exist_ok=True)
+        pq.write_table(table, path, compression="zstd")
 
 
 def ensure_fixture_tables() -> tuple[str, str]:
     """Materialize the transcripts table and its expected-output parquet."""
     tpath = write_transcripts(SCALE)
-    if not os.path.exists(EXPECTED_PATH):
-        rows = expected_turns(SCALE)
-        table = pa.Table.from_pylist(rows, schema=pa.schema([
-            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-            ("doc_id", pa.string()), ("pdf_type", pa.string()),
-            ("text", pa.string()), ("markdown", pa.string()),
-            ("error_kind", pa.string()), ("n_spans", pa.int32()),
-            ("ocr_recommended", pa.bool_()),
-        ]))
-        os.makedirs(DATA_DIR, exist_ok=True)
-        pq.write_table(table, EXPECTED_PATH, compression="zstd")
+    _write_expected(SCALE, EXPECTED_PATH)
+    # t-med fixture for the 100x-scale digest gate entry
+    write_transcripts("t-med")
+    _write_expected("t-med", EXPECTED_PATH_TMED)
     return tpath, EXPECTED_PATH
 
 
@@ -136,6 +146,32 @@ def _quality_extracted(spark: SparkSession, sf_dir: str):
             .orderBy("conv_id", "turn_idx"))
 
 
+def _extract_digest_tmed(spark: SparkSession, sf_dir: str):
+    """Per-turn byte equality at t-med (9,935 turns — 100x t-small) under
+    the hard hash gate, compacted to one md5 digest per conversation:
+    digest = md5 over the conversation's turn texts in turn order,
+    unit-separator-joined (NULL text -> empty). Any single-character
+    drift in any turn flips its conversation's digest."""
+    from ..pipeline import run_pipeline
+    from ..transcripts import write_transcripts
+    ensure_fixture_tables()
+    tpath = write_transcripts("t-med")
+    df = spark.read.parquet(tpath)
+    out = run_pipeline(df, with_markdown=False, salt_buckets=32)
+    out.createOrReplaceTempView("tmed_out")
+    return spark.sql("""
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               md5(array_join(transform(
+                     array_sort(collect_list(struct(turn_idx,
+                                                    coalesce(text_out, '')))),
+                     s -> s.col2), chr(31))) AS turns_digest
+        FROM tmed_out
+        GROUP BY conv_id
+        ORDER BY conv_id
+    """)
+
+
 def _routing_selectivity(spark: SparkSession, sf_dir: str):
     return (_pipeline_result(spark)
             .agg(F.count("*").alias("n_turns"),
@@ -222,6 +258,17 @@ def _register_all() -> None:
     # yields BIGINT: cast every SUM to BIGINT so the driver hash gate agrees.
     # n_ocr_flagged counts the pipeline's own ocr_recommended flag (persisted
     # in the v6 fixture), not a pdf_type re-derivation.
+    register("pi_extract_digest_tmed", _extract_digest_tmed, f"""
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               md5(string_agg(COALESCE(text, ''), chr(31)
+                              ORDER BY turn_idx)) AS turns_digest
+        FROM read_parquet('{EXPECTED_PATH_TMED.replace("'", "''")}')
+        GROUP BY conv_id
+        ORDER BY conv_id
+    """, "per-turn byte equality at t-med (9,935 turns) compacted to a "
+         "per-conversation digest — 100x-scale extraction contract")
+
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,
                CAST(SUM(CASE WHEN pdf_type IN ('text_based','mixed')

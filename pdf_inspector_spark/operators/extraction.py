@@ -157,7 +157,7 @@ def _extract_digest_tmed(spark: SparkSession, sf_dir: str):
     ensure_fixture_tables()
     tpath = write_transcripts("t-med")
     df = spark.read.parquet(tpath)
-    out = run_pipeline(df, with_markdown=False, salt_buckets=32)
+    out = run_pipeline(df, with_markdown=True, salt_buckets=32)
     out.createOrReplaceTempView("tmed_out")
     return spark.sql("""
         SELECT conv_id,
@@ -165,7 +165,11 @@ def _extract_digest_tmed(spark: SparkSession, sf_dir: str):
                md5(array_join(transform(
                      array_sort(collect_list(struct(turn_idx,
                                                     coalesce(text_out, '')))),
-                     s -> s.col2), chr(31))) AS turns_digest
+                     s -> s.col2), chr(31))) AS turns_digest,
+               md5(array_join(transform(
+                     array_sort(collect_list(struct(turn_idx,
+                                                    coalesce(markdown, '')))),
+                     s -> s.col2), chr(31))) AS markdown_digest
         FROM tmed_out
         GROUP BY conv_id
         ORDER BY conv_id
@@ -262,12 +266,15 @@ def _register_all() -> None:
         SELECT conv_id,
                COUNT(*) AS n_turns,
                md5(string_agg(COALESCE(text, ''), chr(31)
-                              ORDER BY turn_idx)) AS turns_digest
+                              ORDER BY turn_idx)) AS turns_digest,
+               md5(string_agg(COALESCE(markdown, ''), chr(31)
+                              ORDER BY turn_idx)) AS markdown_digest
         FROM read_parquet('{EXPECTED_PATH_TMED.replace("'", "''")}')
         GROUP BY conv_id
         ORDER BY conv_id
-    """, "per-turn byte equality at t-med (9,935 turns) compacted to a "
-         "per-conversation digest — 100x-scale extraction contract")
+    """, "per-turn text AND markdown byte equality at t-med (9,935 "
+         "turns) compacted to per-conversation digests — 100x-scale "
+         "extraction + structuring contract")
 
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,

@@ -761,6 +761,44 @@ def _encrypted_doc() -> bytes:
                                    b"/Root 1 0 R /Encrypt 6 0 R")
 
 
+def _kitchen_sink() -> bytes:
+    """Feature-interaction stressor: one document combining a heading,
+    a two-column body, a small-font data table, a page number, and a
+    URI link annotation — every §2.5/§2.6/§2.7 stage active on the SAME
+    page, pinning their interactions (column cursors around a claimed
+    table region, page-number stripping, link item placement)."""
+    lines: list[tuple[float, float, float, bytes]] = []
+    lines.append((72.0, 750.0, 18.0, b"Quarterly Operations Review"))
+    # two-column body
+    for i in range(1, 9):
+        lines.append((72.0, 710.0 - 15.0 * i, 10.0,
+                      b"left column narrative row %d here" % i))
+        lines.append((330.0, 710.0 - 15.0 * i, 10.0,
+                      b"right column commentary row %d too" % i))
+    # small-font table beneath the columns
+    xs = [100.0, 200.0, 280.0, 360.0]
+    header = [b"Region", b"Q1", b"Q2", b"Q3"]
+    rows = [[b"North", b"1.0", b"2.5", b"3.5"],
+            [b"South", b"4.0", b"5.0", b"6.5"],
+            [b"West", b"7.5", b"8.0", b"9.5"]]
+    for x, t in zip(xs, header):
+        lines.append((x, 440.0, 8.0, t))
+    for r, row in enumerate(rows):
+        for x, t in zip(xs, row):
+            lines.append((x, 425.0 - 15.0 * r, 8.0, t))
+    lines.append((300.0, 40.0, 9.0, b"7"))  # bare page number
+    objs = _catalog_and_pages([3])
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/MediaBox [0 0 612 792] "
+               b"/Resources << /Font << /F1 5 0 R >> >> "
+               b"/Annots [6 0 R] >>")
+    objs[4] = _stream_obj(b"<< >>", _text_ops(lines))
+    objs[5] = _HELV_FONT
+    objs[6] = (b"<< /Type /Annot /Subtype /Link /Rect [72 60 200 75] "
+               b"/A << /Type /Action /S /URI /URI (https://example.org/q) >> >>")
+    return build_pdf(objs)
+
+
 def _xref_stream_pdf() -> bytes:
     """PDF 1.5 layout with a cross-reference STREAM and NO classic
     xref/trailer keyword: /Root lives in the XRef stream's dict. The
@@ -877,6 +915,9 @@ def build_corpus() -> list[CorpusEntry]:
         CorpusEntry("xref_stream", _xref_stream_pdf(), "text_based",
                     "PDF 1.5 cross-reference stream, no classic trailer "
                     "(Root from the /Type /XRef dict)"),
+        CorpusEntry("kitchen_sink", _kitchen_sink(), "text_based",
+                    "heading + two columns + small-font table + page "
+                    "number + URI link on ONE page (stage interactions)"),
     ]
 
 

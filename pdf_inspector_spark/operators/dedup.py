@@ -209,8 +209,9 @@ def _minhash_spark(spark, sf_dir: str):
 
 
 register("dedup_minhash_lsh", _minhash_spark, _MINHASH_DUCK,
-         "MinHash(8)+LSH(4 bands×2 rows) candidate pairs; signature table "
-         "materialized once, band join shuffles only (band, key, doc_id)")
+         f"MinHash({N_PERMS})+LSH({N_BANDS} bands×{ROWS_PER_BAND} rows) "
+         "candidate pairs; signature table materialized once, band join "
+         "shuffles only (band, key, doc_id)")
 
 
 # -- SimHash ----------------------------------------------------------------

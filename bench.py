@@ -51,7 +51,7 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
-def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
+def extraction_worker(cpus: int, scale: str, cached=True) -> dict:
     """One extraction throughput measurement at local[cpus].
 
     cached=True is the production configuration (content-hash LRU on:
@@ -60,9 +60,17 @@ def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
     distinct documents; the N→4N scaling-efficiency evidence uses THIS
     mode, because the cached job at bench scale finishes in ~1 s and
     fixed stage overhead, not throughput, would dominate the ratio."""
-    from pdf_inspector_spark.pipeline import run_pipeline
+    from pdf_inspector_spark.pipeline import run_pipeline, run_pipeline_dedup
     from pdf_inspector_spark.session import get_spark
     from pdf_inspector_spark.transcripts import write_transcripts
+
+    if cached == "dedup":
+        def run(frame):  # dedup-aware plan (distinct payloads only)
+            return run_pipeline_dedup(frame, with_markdown=True)
+    else:
+        def run(frame):
+            return run_pipeline(frame, with_markdown=True,
+                                payload_cache=bool(cached))
 
     tpath = write_transcripts(scale)
     # Cap JVM background parallelism: at local[32] the GC/JIT thread pools
@@ -82,7 +90,7 @@ def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
     # path so the timed pass measures steady-state throughput, not
     # worker cold-start (which would bias against high parallelism).
     warm = df.limit(cpus * 96).repartition(cpus)
-    run_pipeline(warm, with_markdown=True, payload_cache=cached).count()
+    run(warm).count()
     # The table is a many-file directory → file-level scan parallelism;
     # the pipeline runs on scan partitions with no payload shuffle.
     # Best of 2 timed passes: the box's thermal state drifts ±15%, so a
@@ -91,15 +99,17 @@ def extraction_worker(cpus: int, scale: str, cached: bool = True) -> dict:
     processed = 0
     for _ in range(2):
         t0 = time.monotonic()
-        out = run_pipeline(df, with_markdown=True, payload_cache=cached)
+        out = run(df)
         processed = out.where(out.pdf_type.isNotNull()).count()
         elapsed = min(elapsed, time.monotonic() - t0)
     spark.stop()
     # Hardware ceiling at the same level, measured immediately after (same
     # thermal state): the same kernel work with zero Spark.
-    hw = hardware_baseline([cpus], docs_per_proc=60000 if cached else 2400,
-                           use_cache=cached)[cpus]
-    return {"cpus": cpus, "scale": scale, "cached": cached, "turns": n_turns,
+    hw = hardware_baseline([cpus],
+                           docs_per_proc=60000 if cached else 2400,
+                           use_cache=bool(cached))[cpus]
+    return {"cpus": cpus, "scale": scale, "mode": str(cached),
+            "turns": n_turns,
             "processed": processed, "sec": round(elapsed, 3),
             "turns_per_sec": round(n_turns / elapsed, 1),
             "hw_ceiling_docs_per_sec": hw}
@@ -205,7 +215,8 @@ def main() -> None:
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         cpus, scale = int(sys.argv[2]), sys.argv[3]
-        cached = (sys.argv[4] != "nocache") if len(sys.argv) > 4 else True
+        mode = sys.argv[4] if len(sys.argv) > 4 else "cached"
+        cached = {"nocache": False, "cached": True}.get(mode, mode)
         print(json.dumps(extraction_worker(cpus, scale, cached)))
         return
 
@@ -248,11 +259,17 @@ def main() -> None:
             second = _spawn(cpus, "nocache")
             if second.get("turns_per_sec", 0) > results[cpus]["turns_per_sec"]:
                 results[cpus] = second
-    # Production headline (content-hash LRU on — the transcripts workload
-    # where attachments repeat): measured at the full level only.
+    # Production headlines at the full level only: the dedup-aware plan
+    # (distinct payloads only cross the Arrow boundary — the recommended
+    # plan for repeat-heavy transcripts) and the per-row plan with the
+    # executor-local LRU.
+    dedup_head = _spawn(CPUS, "dedup")
     cached_head = _spawn(CPUS, "cached")
 
     throughput = {"turns": results[CPUS]["turns"], "scale": scale,
+                  "turns_per_sec_dedup_n%d" % CPUS:
+                      dedup_head["turns_per_sec"],
+                  "dedup_sec_n%d" % CPUS: dedup_head["sec"],
                   "turns_per_sec_cached_n%d" % CPUS:
                       cached_head["turns_per_sec"],
                   "cached_sec_n%d" % CPUS: cached_head["sec"]}

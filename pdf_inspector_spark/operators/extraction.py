@@ -152,12 +152,15 @@ def _extract_digest_tmed(spark: SparkSession, sf_dir: str):
     digest = md5 over the conversation's turn texts in turn order,
     unit-separator-joined (NULL text -> empty). Any single-character
     drift in any turn flips its conversation's digest."""
-    from ..pipeline import run_pipeline
+    from ..pipeline import run_pipeline_dedup
     from ..transcripts import write_transcripts
     ensure_fixture_tables()
     tpath = write_transcripts("t-med")
     df = spark.read.parquet(tpath)
-    out = run_pipeline(df, with_markdown=True, salt_buckets=32)
+    # the dedup-aware plan (distinct payloads only cross into Python) is
+    # the production extraction plan; gating it here checks ITS output
+    # byte-for-byte at t-med, not just the per-row plan's
+    out = run_pipeline_dedup(df, with_markdown=True)
     out.createOrReplaceTempView("tmed_out")
     return spark.sql("""
         SELECT conv_id,

@@ -271,6 +271,49 @@ def run_pipeline(df: DataFrame, *, with_markdown: bool = True,
     )
 
 
+def run_pipeline_dedup(df: DataFrame, *, with_markdown: bool = True,
+                       payload_col: str = "text") -> DataFrame:
+    """Dedup-aware extraction plan: express payload repetition in the
+    PLAN instead of (only) the executor-local LRU.
+
+        Scan → partial/final first-agg on md5(payload)   (map-side combine
+                collapses duplicates BEFORE the exchange — each scan task
+                emits one row per DISTINCT payload it saw)
+             → ArrowEvalPython over DISTINCT payloads only
+             → join derived columns back on the content key
+
+    Only distinct documents ever cross the JVM→Python Arrow boundary, and
+    payloads never ride a wide shuffle (the distinct exchange carries one
+    payload per (task × distinct-doc); the join back carries derived
+    columns + a 32-char key). At 10^12 turns with heavy attachment reuse
+    this turns extraction cost from O(rows) into O(distinct docs) at the
+    PLAN level — Catalyst/AQE can see and size it, unlike the in-UDF LRU.
+    Content key = md5 (collision-free in practice; xxhash64's 64 bits
+    birthday-collide near 10^9-10^10 distinct docs).
+
+    Results are identical to run_pipeline (the kernel is deterministic
+    per payload) — asserted in tests/test_spark_pipeline.py."""
+    # NULL payloads get a sentinel key: equi-joins drop NULL keys, and
+    # the quarantine row for a NULL payload must survive the join back.
+    keyed = df.withColumn("__pk", F.coalesce(F.md5(F.col(payload_col)),
+                                             F.lit("__null_payload__")))
+    distinct = (keyed.groupBy("__pk")
+                .agg(F.first(payload_col, ignorenulls=False)
+                     .alias(payload_col)))
+    udf = process_structure_udf if with_markdown else process_text_udf
+    proc_cols = ["pdf_type", "page_count", "confidence", "ocr_recommended",
+                 "title", "text_out", "spans", "markdown", "error_kind",
+                 "error_msg", "processing_time_ms"]
+    processed = (distinct
+                 .withColumn("proc", udf(F.col(payload_col)))
+                 .select("__pk", *[F.col(f"proc.{c}").alias(c)
+                                   for c in proc_cols]))
+    out_cols = [c for c in df.columns if c != payload_col]
+    return (keyed.drop(payload_col)
+            .join(processed, "__pk")
+            .select(*out_cols, *proc_cols))
+
+
 def run_pipeline_staged(df: DataFrame, *, with_markdown: bool = True,
                         salt_buckets: int | None = None,
                         payload_col: str = "text") -> DataFrame:

@@ -160,3 +160,41 @@ def test_cache_bypassed_pipeline_identical(spark, tsmall_path, result_df):
                               F.coalesce(F.size("spans"), F.lit(0)))
          .select(cols).orderBy("conv_id", "turn_idx").collect())
     assert a == b
+
+
+def test_dedup_plan_identical_to_row_plan(spark, tsmall_path, result_df):
+    """run_pipeline_dedup (distinct-payload plan) must produce rows
+    identical to the per-row plan, including NULL-payload quarantine
+    rows (sentinel join key)."""
+    from pdf_inspector_spark.pipeline import run_pipeline_dedup
+    df = spark.read.parquet(tsmall_path)
+    cols = ["conv_id", "turn_idx", "pdf_type", "text_out", "markdown",
+            "error_kind"]
+    a = sorted(map(str, run_pipeline_dedup(df).select(cols).collect()))
+    b = sorted(map(str, result_df.select(cols).collect()))
+    assert a == b
+    withnull = df.withColumn(
+        "text", F.when(F.col("turn_idx") == 0, None).otherwise(F.col("text")))
+    c = sorted(map(str, run_pipeline_dedup(withnull).select(cols).collect()))
+    d = sorted(map(str, with_turn_order(
+        run_pipeline(withnull, with_markdown=True)).select(cols).collect()))
+    assert c == d
+
+
+def test_dedup_plan_shape(spark, tsmall_path):
+    """The distinct stage must show a partial (map-side) aggregate — the
+    combine that collapses duplicate payloads BEFORE the exchange — and
+    the join back must not carry the payload column."""
+    from pdf_inspector_spark.pipeline import run_pipeline_dedup
+    df = spark.read.parquet(tsmall_path)
+    plan = (run_pipeline_dedup(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "partial_first" in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    # the probe side of the join carries only the content key + metadata
+    # (payload never re-enters after the distinct stage): the ONLY scan
+    # that outputs `text` feeds the aggregate, and ArrowEvalPython sits
+    # strictly above the aggregate, not above the raw scan
+    agg_pos = plan.index("partial_first")
+    arrow_pos = plan.index("ArrowEvalPython")
+    assert arrow_pos < agg_pos  # tree prints top-down: python above agg

@@ -291,6 +291,12 @@ def run_pipeline_dedup(df: DataFrame, *, with_markdown: bool = True,
     Content key = md5 (collision-free in practice; xxhash64's 64 bits
     birthday-collide near 10^9-10^10 distinct docs).
 
+    Skew note: this plan needs NO conversation salting — the expensive
+    stage partitions by CONTENT hash, so a mega-conversation (many turns,
+    one conv_id) contributes only its distinct payloads, uniformly
+    spread. The only residual skew would be one payload dominating the
+    corpus, which collapses to a single distinct row (trivial work).
+
     Results are identical to run_pipeline (the kernel is deterministic
     per payload) — asserted in tests/test_spark_pipeline.py."""
     # NULL payloads get a sentinel key: equi-joins drop NULL keys, and

@@ -9,7 +9,7 @@ from pdf_inspector_spark.kernels.pdfobj import _Lexer, Name, Ref
 from pdf_inspector_spark.kernels.pipeline import process_pdf_mem
 from pdf_inspector_spark.corpus import build_corpus
 
-rng = random.Random(20260816)
+import sys as _s; rng = random.Random(int(_s.argv[1]) if len(_s.argv) > 1 else 20260816)
 
 def rand_obj(depth=0):
     r = rng.random()

@@ -61,11 +61,14 @@ def _pipeline_result(spark: SparkSession):
     queries (cached DataFrame of derived columns only — tiny)."""
     key = id(spark)
     if key not in _RESULT_CACHE:
-        from ..pipeline import run_pipeline, with_turn_order
+        # the dedup-aware plan is the production extraction plan; running
+        # it here puts its FULL output schema (text, markdown, spans,
+        # classification fields, quarantine rows) under every pi_* oracle
+        from ..pipeline import run_pipeline_dedup, with_turn_order
         tpath, _ = ensure_fixture_tables()
         df = spark.read.parquet(tpath)
         _RESULT_CACHE[key] = with_turn_order(
-            run_pipeline(df, with_markdown=True, salt_buckets=8)).cache()
+            run_pipeline_dedup(df, with_markdown=True)).cache()
     return _RESULT_CACHE[key]
 
 

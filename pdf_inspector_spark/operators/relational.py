@@ -133,14 +133,19 @@ register("rel_sessionize_events", _sql(_SESSIONS), _SESSIONS_DUCK,
 # The hour bucket crosses the Spark↔DuckDB boundary as epoch seconds
 # (BIGINT) — Spark TIMESTAMP is LTZ while DuckDB's is naive, so the raw
 # timestamp representations hash differently even at identical instants.
-# Conditional SUMs are cast to BIGINT (DuckDB SUM(int) → HUGEINT), and the
-# money sum stays DECIMAL(18,2) — exact in both engines.
+# Conditional SUMs are cast to BIGINT (DuckDB SUM(int) → HUGEINT). The
+# money sum accumulates in DECIMAL(18,2) — exact in both engines — but the
+# FINAL column is CAST ... AS DOUBLE: DuckDB's pandas bridge renders a
+# DECIMAL column as float64 (919.6) while Spark yields Decimal('919.60'),
+# so a DECIMAL-typed final column can never hash-match under the driver
+# gate (the r01/r02 failure). DECIMAL is fine as an internal accumulator,
+# never as an output type — enforced repo-wide by tools/crosscheck.py.
 _RATES = """
 SELECT CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_errors,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 ORDER BY hour_epoch
@@ -151,7 +156,7 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_errors,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 ORDER BY hour_epoch

@@ -20,21 +20,29 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    """Driver-strength normalization: exact values, NO float rounding and
-    NO timezone stripping — representation differences (HUGEINT→float64,
-    TIMESTAMP_LTZ vs naive) must FAIL here exactly as they fail in the
-    driver's hash gate. Only decimal.Decimal is canonicalized (both
-    engines produce exact decimals; trailing-zero scale is type-level)."""
-    import decimal
+    """Driver-strength normalization: exact values, NO float rounding, NO
+    timezone stripping, NO Decimal canonicalization — representation
+    differences (HUGEINT→float64, TIMESTAMP_LTZ vs naive, Decimal scale)
+    must FAIL here exactly as they fail in the driver's hash gate.
+    (r02 lesson: normalizing Decimals masked the rel_event_rates_hourly
+    driver fail for two rounds.)"""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v != 0 else "0"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def decimal_cols(sdf) -> list[str]:
+    """DECIMAL final columns are banned repo-wide: DuckDB's pandas bridge
+    (the driver's path) renders DECIMAL as float64 while Spark collects
+    exact Decimal — such a column can never hash-match. DuckDB's native
+    fetchall() returns exact Decimals, so a value comparison here would
+    NOT reproduce the driver divergence; only a schema ban does."""
+    return [f.name for f in sdf.schema.fields
+            if "decimal" in f.dataType.simpleString()]
 
 
 def run(sf_dir: str, only: list[str]) -> int:
@@ -57,6 +65,12 @@ def run(sf_dir: str, only: list[str]) -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            bad = decimal_cols(sdf)
+            if bad:
+                print(f"FAIL {name}: DECIMAL final column(s) {bad} — cast "
+                      "to DOUBLE/BIGINT (driver pandas bridge diverges)")
+                failures += 1
+                continue
             srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
             scols = sdf.columns
         except Exception as exc:  # noqa: BLE001

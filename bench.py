@@ -37,11 +37,11 @@ ANALYTIC_QUERIES = [
     "rel_pricing_summary",
     "rel_broadcast_join_revenue",
     "rel_sessionize_events",
-    "dedup_exact_stats",
+    "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
-    "text_fingerprint",
+    "text_bpe_tokens",
     "text_quality_score",
 ]
 

@@ -93,6 +93,7 @@ def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
 FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
+    T.StructField("fmt", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("byte_mean_milli", T.LongType()),   # mean byte value ×1000
     T.StructField("byte_entropy_milli", T.LongType()),  # Shannon entropy ×1000
@@ -124,6 +125,7 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows.append({
             "media_id": r.media_id,
             "kind": r.kind,
+            "fmt": r.fmt,
             "n_bytes": n,
             "byte_mean_milli": total * 1000 // n if n else 0,
             "byte_entropy_milli": int(entropy * 1000),
@@ -139,7 +141,7 @@ def media_features(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _features_batch(pdf)
-    return (df.select("media_id", "kind", "payload", "width", "height")
+    return (df.select("media_id", "kind", "fmt", "payload", "width", "height")
             .mapInPandas(gen, FEATURES_SCHEMA))
 
 

@@ -47,31 +47,47 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _assemble(spark: SparkSession, sf_dir: str):
+    # Assembly (grouped-map) + per-conversation temporal shape (window)
+    # in one gated query — both are per-conv grain, so the gap columns
+    # from transcript_stats join on conv_id without an extra capability
+    # losing its hard-signal row (r3 registry consolidation).
     from .extraction import _pipeline_result
+    from .transcript_stats import GAPS_SPARK_SQL, ensure_transcripts_view
     result = _pipeline_result(spark)
-    return (result.select("conv_id", "turn_idx", "text_out")
-            .groupBy("conv_id")
-            .applyInPandas(_assemble_group, ASSEMBLY_SCHEMA)
-            .orderBy("conv_id"))
+    assembled = (result.select("conv_id", "turn_idx", "text_out")
+                 .groupBy("conv_id")
+                 .applyInPandas(_assemble_group, ASSEMBLY_SCHEMA))
+    ensure_transcripts_view(spark)
+    gaps = (spark.sql(GAPS_SPARK_SQL)
+            .select("conv_id", "span_sec", "max_gap_sec", "min_gap_sec"))
+    return assembled.join(gaps, "conv_id").orderBy("conv_id")
 
 
 def _register() -> None:
     # Pure registration (no filesystem writes) — runs on executor import.
     from .extraction import EXPECTED_PATH
+    from .transcript_stats import GAPS_DUCK_SQL
+    gaps_body = GAPS_DUCK_SQL.replace("ORDER BY conv_id", "")
     register("conv_assemble_docs", _assemble, f"""
-        SELECT conv_id,
-               COUNT(*)::INT AS n_turns,
-               COUNT(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END)::INT
-                 AS n_extracted,
-               length(COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
-                 FILTER (WHERE text IS NOT NULL AND text <> ''), ''))::INT AS doc_chars,
-               COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
-                 FILTER (WHERE text IS NOT NULL AND text <> ''), '') AS doc
-        FROM read_parquet('{EXPECTED_PATH}')
-        GROUP BY conv_id
-        ORDER BY conv_id
-    """, "grouped-map conversation assembly (applyInPandas) — per-conv "
-         "document in stable turn order")
+        WITH asm AS (
+          SELECT conv_id,
+                 COUNT(*)::INT AS n_turns,
+                 COUNT(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END)::INT
+                   AS n_extracted,
+                 length(COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
+                   FILTER (WHERE text IS NOT NULL AND text <> ''), ''))::INT AS doc_chars,
+                 COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
+                   FILTER (WHERE text IS NOT NULL AND text <> ''), '') AS doc
+          FROM read_parquet('{EXPECTED_PATH}')
+          GROUP BY conv_id
+        ),
+        gaps AS ({gaps_body})
+        SELECT asm.conv_id, asm.n_turns, asm.n_extracted, asm.doc_chars,
+               asm.doc, gaps.span_sec, gaps.max_gap_sec, gaps.min_gap_sec
+        FROM asm JOIN gaps ON gaps.conv_id = asm.conv_id
+        ORDER BY asm.conv_id
+    """, "grouped-map conversation assembly (applyInPandas) + per-conv "
+         "temporal shape (span/gap window) in stable turn order")
 
 
 _register()

@@ -15,7 +15,23 @@ path never leaves Tungsten. The band bucket join is the scale path: at
 10^12 rows the candidate join shuffles only (band, key, doc_id), never
 document text.
 
-Hash = first 15 hex chars of md5 as bigint (same value in both engines).
+Degenerate-bucket guard (r3): real crawl corpora contain thousand-fold
+EXACT duplicates; m byte-identical documents share every band bucket, so
+an unguarded band self-join emits ~m²·bands junk candidate pairs from a
+single hot payload. Every LSH pipeline here therefore
+  (1) collapses exact duplicates to ONE representative per full-sha256
+      content hash before shingling (exact-dup membership is the
+      exact-dedup operator's output, not LSH's job), and
+  (2) caps per-bucket membership at BUCKET_CAP before the self-join —
+      a bucket that big after rep-collapse means the band key carries
+      no discriminating information (candidate recall for its members
+      is covered by the other bands).
+tests/test_plan_shape.py asserts the 1k-identical-docs pathological
+table produces O(k) candidate pairs, not O(m²).
+
+MinHash hash = first 15 hex chars of md5 as bigint (same value in both
+engines); content-identity keys use full sha256 (collision-resistant —
+md5 chosen-prefix collisions are practical, see kernels/pipeline.py).
 """
 
 from __future__ import annotations
@@ -33,96 +49,100 @@ def _sql(query: str):
     return run
 
 
-# -- exact dedup ------------------------------------------------------------
-# The corpus is widened with a deterministic "re-crawl overlay": every
-# 10th document reappears under a new doc_id (offset 10^6) with identical
-# text — the cross-crawl duplication pattern a web-scale pipeline dedups.
-# Derived purely from the input table (no synthesized data), identically
-# in both engines, so the operator's duplicate-group output is non-vacuous
-# (the raw sf tables contain no exact text duplicates).
+_MERS = 2147483647  # 2^31 - 1
 
-_RECRAWL_SPARK = """
+# LSH geometry — the SQL is GENERATED from (n_bands, rows_per_band), so a
+# deployment tunes recall/precision without touching query text
+# (candidate probability for a pair with Jaccard s:
+# 1 - (1 - s^rows_per_band)^n_bands). Two geometries run under the gate:
+N_BANDS = 4          # test-scale: 8 perms, keeps the sf0.01 oracle fast
+ROWS_PER_BAND = 2
+PROD_BANDS = 16      # production shape: 64 perms (dedup_minhash_prod)
+PROD_ROWS = 4
+BUCKET_CAP = 50      # degenerate-bucket guard (post-rep-collapse)
+
+# Deterministic "re-crawl overlay": every 10th document reappears under a
+# new doc_id (offset 10^6) with identical text — the cross-crawl
+# duplication pattern a web-scale pipeline dedups. Derived purely from
+# the input table (no synthesized data), identically in both engines, so
+# duplicate-group outputs are non-vacuous (the raw sf tables contain no
+# exact text duplicates).
+_RECRAWL = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """
 
-_RECRAWL_DUCK = _RECRAWL_SPARK
+_DOCS = "SELECT doc_id, text FROM documents"
+
+
+# -- exact dedup --------------------------------------------------------------
+# Group key = FULL sha256 of the text (r3: the r2 version truncated md5 to
+# 60 bits, where birthday collisions at the claimed 10^12-doc scale are
+# expected in the thousands — silently merging non-duplicates). One gated
+# query carries both the duplicate groups and the corpus cardinality
+# stats (folded from the r2 dedup_exact_stats so the registry fits the
+# driver's 50-query window).
 
 _EXACT_SPARK = f"""
-WITH corpus AS ({_RECRAWL_SPARK}),
+WITH corpus AS ({_RECRAWL}),
 hashed AS (
-  SELECT doc_id, {SPARK_H64.format(x='text')} AS text_hash FROM corpus
+  SELECT doc_id, sha2(text, 256) AS text_hash FROM corpus
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT text_hash) AS n_unique,
+         COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
+  FROM hashed
+),
+groups AS (
+  SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+  FROM hashed
+  GROUP BY text_hash
+  HAVING COUNT(*) > 1
 )
-SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-FROM hashed
-GROUP BY text_hash
-HAVING COUNT(*) > 1
+SELECT g.text_hash, g.n_copies, g.keeper_doc_id,
+       s.n_docs, s.n_unique, s.n_redundant
+FROM groups g CROSS JOIN stats s
 ORDER BY text_hash
 """
 
-_EXACT_DUCK = f"""
-WITH corpus AS ({_RECRAWL_DUCK}),
-hashed AS (
-  SELECT doc_id, {DUCK_H64.format(x='text')} AS text_hash FROM corpus
-)
-SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-FROM hashed
-GROUP BY text_hash
-HAVING COUNT(*) > 1
-ORDER BY text_hash
-"""
+_EXACT_DUCK = _EXACT_SPARK.replace("sha2(text, 256)", "sha256(text)")
 
 register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
-         "exact duplicate groups via content-hash groupBy (map-side combine) "
-         "over a deterministic re-crawl overlay (non-vacuous)")
-
-_EXACT_KEEP_SPARK = f"""
-WITH hashed AS (
-  SELECT doc_id, {SPARK_H64.format(x='lower(text)')} AS text_hash FROM documents
-)
-SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT text_hash) AS n_unique,
-       COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
-FROM hashed
-"""
-
-_EXACT_KEEP_DUCK = f"""
-WITH hashed AS (
-  SELECT doc_id, {DUCK_H64.format(x='lower(text)')} AS text_hash FROM documents
-)
-SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT text_hash) AS n_unique,
-       COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
-FROM hashed
-"""
-
-register("dedup_exact_stats", _sql(_EXACT_KEEP_SPARK), _EXACT_KEEP_DUCK,
-         "normalized exact-dedup cardinality stats")
+         "exact duplicate groups via full-sha256 groupBy (map-side "
+         "combine) over a deterministic re-crawl overlay, plus corpus "
+         "cardinality stats (non-vacuous)")
 
 
-# -- MinHash + LSH ----------------------------------------------------------
-# 3-word shingles → ONE md5-60bit hash per shingle → 8 minhash
-# permutations via multiplicative mixing mod the Mersenne prime 2^31-1
-# (values stay < 2^36, safe under ANSI arithmetic; identical in both
-# engines) → 4 bands × 2 rows → candidate pairs sharing any band bucket.
+# -- MinHash + LSH ------------------------------------------------------------
+# 3-word shingles → ONE md5-60bit hash per shingle → minhash permutations
+# via multiplicative mixing mod the Mersenne prime 2^31-1 (values stay
+# < 2^36, safe under ANSI arithmetic; identical in both engines) → bands
+# → candidate pairs sharing any surviving band bucket.
 
-_MERS = 2147483647  # 2^31 - 1
 
-# LSH geometry — module-level constants; the SQL below is GENERATED from
-# them, so a deployment tunes recall/precision without touching query
-# text. Test-scale defaults (8 perms = 4 bands x 2 rows) keep the sf0.01
-# oracle fast; production near-dup dedup typically runs 128 perms as
-# 32x4 or 16x8 (candidate probability for a pair with Jaccard s:
-# 1 - (1 - s^ROWS_PER_BAND)^N_BANDS).
-N_BANDS = 4
-ROWS_PER_BAND = 2
-N_PERMS = N_BANDS * ROWS_PER_BAND
-
-_MINHASH_SPARK = f"""
-WITH toks AS (
+def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
+                      cap: int = BUCKET_CAP) -> str:
+    """CTE chain (Spark SQL) ending in `bands(doc_id, b, bkey)`:
+    rep-collapse → shingle → hash → minhash → band → bucket cap."""
+    n_perms = n_bands * rows_per_band
+    bkey = SPARK_H64.format(
+        x=f"concat_ws(':', transform(sequence(1, {rows_per_band}), "
+          f"r -> cast(element_at(mins, b*{rows_per_band}+r) AS STRING)))")
+    return f"""
+corpus AS ({corpus_sql}),
+reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY sha2(text, 256), length(text)
+                              ORDER BY doc_id) AS rn
+    FROM corpus) numbered
+  WHERE rn = 1
+),
+toks AS (
   SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-  FROM documents
+  FROM reps
 ),
 sh AS (
   SELECT doc_id,
@@ -138,25 +158,45 @@ hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         transform(sequence(0, {N_PERMS - 1}),
+         transform(sequence(0, {n_perms - 1}),
              j -> array_min(transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
   FROM hs
 ),
-bands AS (
-  SELECT doc_id, b,
-         {SPARK_H64.format(x=f"concat_ws(':', transform(sequence(1, {ROWS_PER_BAND}), r -> cast(element_at(mins, b*{ROWS_PER_BAND}+r) AS STRING)))")} AS bkey
+bands0 AS (
+  SELECT doc_id, b, {bkey} AS bkey
   FROM mh
-  LATERAL VIEW explode(sequence(0, {N_BANDS - 1})) AS b
-)
-SELECT doc_id, b, bkey FROM bands
-"""
+  LATERAL VIEW explode(sequence(0, {n_bands - 1})) AS b
+),
+bands AS (
+  SELECT doc_id, b, bkey FROM (
+    SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz
+    FROM bands0) sized
+  WHERE bsz <= {cap}
+)"""
 
-_MINHASH_DUCK = f"""
-WITH toks AS (
+
+def bands_chain_duck(corpus_sql: str, n_bands: int, rows_per_band: int,
+                     cap: int = BUCKET_CAP) -> str:
+    """Same chain for the DuckDB oracle."""
+    n_perms = n_bands * rows_per_band
+    bkey = DUCK_H64.format(
+        x=f"array_to_string(list_transform(range(1, {rows_per_band + 1}), "
+          f"r -> mins[(b*{rows_per_band}+r)::int]::VARCHAR), ':')")
+    return f"""
+corpus AS ({corpus_sql}),
+reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text), length(text)
+                              ORDER BY doc_id) AS rn
+    FROM corpus) numbered
+  WHERE rn = 1
+),
+toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-  FROM documents
+  FROM reps
 ),
 sh AS (
   SELECT doc_id,
@@ -171,50 +211,88 @@ hs AS (
 ),
 mh AS (
   SELECT doc_id,
-         list_transform(range(0, {N_PERMS}),
+         list_transform(range(0, {n_perms}),
              j -> list_min(list_transform(hashes,
                  h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
   FROM hs
 ),
+bands0 AS (
+  SELECT doc_id, b, {bkey} AS bkey
+  FROM mh, (SELECT unnest(range(0, {n_bands})) AS b)
+),
 bands AS (
-  SELECT doc_id, b,
-         {DUCK_H64.format(x=f"array_to_string(list_transform(range(1, {ROWS_PER_BAND + 1}), r -> mins[(b*{ROWS_PER_BAND}+r)::int]::VARCHAR), ':')")} AS bkey
-  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS b)
-)
+  SELECT doc_id, b, bkey FROM (
+    SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz
+    FROM bands0) sized
+  WHERE bsz <= {cap}
+)"""
+
+
+def _pairs_duck(corpus_sql: str, n_bands: int, rows_per_band: int,
+                cap: int = BUCKET_CAP) -> str:
+    return f"""
+WITH {bands_chain_duck(corpus_sql, n_bands, rows_per_band, cap)}
 SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM bands a JOIN bands c
   ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
 ORDER BY doc_a, doc_b
 """
 
-def _minhash_spark(spark, sf_dir: str):
-    """Materialize the band-signature table once (localCheckpoint) before
-    the self-join: without it Catalyst inlines the whole
-    shingle→hash→minhash subtree into BOTH join sides (~8× recompute).
-    At production scale the signature table is a persisted intermediate
-    for the same reason."""
-    import pyspark.sql.functions as F
 
-    from . import load_views
+def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
+             rows_per_band: int, cap: int = BUCKET_CAP):
+    """Materialize the guarded band-signature table once (localCheckpoint
+    — a persisted intermediate on a real cluster) before any self-join:
+    without it Catalyst inlines the whole shingle→hash→minhash subtree
+    into BOTH join sides (~8× recompute)."""
     load_views(spark, sf_dir)
-    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
+    chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap)
+    return spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"
+                     ).localCheckpoint()
+
+
+def candidate_pairs(bands):
+    """Band-bucket equi-join → distinct rep-level candidate pairs."""
+    import pyspark.sql.functions as F
     a, c = bands.alias("a"), bands.alias("c")
     return (a.join(c, (F.col("a.b") == F.col("c.b"))
                    & (F.col("a.bkey") == F.col("c.bkey"))
                    & (F.col("a.doc_id") < F.col("c.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("c.doc_id").alias("doc_b"))
-            .distinct()
-            .orderBy("doc_a", "doc_b"))
+            .distinct())
 
 
-register("dedup_minhash_lsh", _minhash_spark, _MINHASH_DUCK,
-         f"MinHash({N_PERMS})+LSH({N_BANDS} bands×{ROWS_PER_BAND} rows) "
-         "candidate pairs; signature table materialized once, band join "
+def _minhash_spark(spark, sf_dir: str):
+    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
+    return candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+register("dedup_minhash_lsh", _minhash_spark,
+         _pairs_duck(_DOCS, N_BANDS, ROWS_PER_BAND),
+         f"MinHash({N_BANDS * ROWS_PER_BAND})+LSH({N_BANDS} bands×"
+         f"{ROWS_PER_BAND} rows) candidate pairs; rep-collapse + bucket "
+         "cap guard; signature table materialized once, band join "
          "shuffles only (band, key, doc_id)")
 
 
-# -- SimHash ----------------------------------------------------------------
+def _minhash_prod_spark(spark, sf_dir: str):
+    """Production geometry (64 perms as 16×4) over the re-crawl overlay —
+    the exact-duplicate rep-collapse is non-vacuous here (the 50 overlay
+    copies collapse to their originals before shingling)."""
+    bands = bands_df(spark, sf_dir, _RECRAWL, PROD_BANDS, PROD_ROWS)
+    return candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+register("dedup_minhash_prod", _minhash_prod_spark,
+         _pairs_duck(_RECRAWL, PROD_BANDS, PROD_ROWS),
+         f"MinHash({PROD_BANDS * PROD_ROWS})+LSH({PROD_BANDS} bands×"
+         f"{PROD_ROWS} rows) — the production geometry — over the "
+         "re-crawl overlay; exercises the degenerate-bucket guard "
+         "(exact dups collapse to one representative)")
+
+
+# -- SimHash ------------------------------------------------------------------
 # 16-bit SimHash over distinct-token hashes: bit b set iff the majority of
 # token hashes have bit b set.
 
@@ -263,41 +341,29 @@ register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
          "16-bit SimHash per document (majority vote over token-hash bits)")
 
 
-# -- n-gram Jaccard verification -------------------------------------------
-# Exact Jaccard over distinct 3-gram sets, computed ONLY for the LSH
-# candidate pairs (the band bucket join above) — never all pairs within a
-# block. At 10^12 rows the pairwise work is bounded by the LSH collision
-# count; the old formulation (all pairs sharing `source`) was O(n²) per
-# block. The shingle table is materialized once and joined back to both
-# sides of each candidate pair.
+# -- n-gram Jaccard verification ----------------------------------------------
+# Exact Jaccard over distinct 3-gram sets, computed ONLY for the guarded
+# LSH candidate pairs — never all pairs within a block. At 10^12 rows the
+# pairwise work is bounded by the capped LSH collision count. The shingle
+# table is materialized once and joined back to both sides of each
+# candidate pair.
 
 _SHINGLES_SPARK = """
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY sha2(text, 256), length(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) numbered
+  WHERE rn = 1
+)
 SELECT doc_id,
        array_distinct(transform(sequence(1, size(ts) - 2),
            i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
                           element_at(ts, i + 2)))) AS shingles
 FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-      FROM documents)
+      FROM reps)
 WHERE size(ts) >= 3
-"""
-
-_BANDS_FROM_SH_SPARK = f"""
-WITH hs AS (
-  SELECT doc_id,
-         transform(shingles, s -> {SPARK_H64.format(x='s')} % {_MERS}) AS hashes
-  FROM jac_sh
-),
-mh AS (
-  SELECT doc_id,
-         transform(sequence(0, {N_PERMS - 1}),
-             j -> array_min(transform(hashes,
-                 h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
-  FROM hs
-)
-SELECT doc_id, b,
-       {SPARK_H64.format(x=f"concat_ws(':', transform(sequence(1, {ROWS_PER_BAND}), r -> cast(element_at(mins, b*{ROWS_PER_BAND}+r) AS STRING)))")} AS bkey
-FROM mh
-LATERAL VIEW explode(sequence(0, {N_BANDS - 1})) AS b
 """
 
 _VERIFY_SPARK = """
@@ -323,48 +389,20 @@ ORDER BY doc_a, doc_b
 
 
 def _jaccard_spark(spark, sf_dir: str):
-    """Shingle table and band table are each materialized once
+    """Shingle table and guarded band table are each materialized once
     (localCheckpoint — a persisted intermediate on a real cluster) so the
     candidate self-join and the two verification joins reuse them instead
     of recomputing the shingle subtree per join side."""
-    from . import load_views
     load_views(spark, sf_dir)
     sh = spark.sql(_SHINGLES_SPARK).localCheckpoint()
     sh.createOrReplaceTempView("jac_sh")
-    bands = spark.sql(_BANDS_FROM_SH_SPARK).localCheckpoint()
+    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
     bands.createOrReplaceTempView("jac_bands")
     return spark.sql(_VERIFY_SPARK)
 
 
 _JACCARD_DUCK = f"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(ts) - 1),
-             i -> ts[i::int] || ' ' || ts[i::int + 1] || ' ' || ts[i::int + 2])) AS shingles
-  FROM toks WHERE len(ts) >= 3
-),
-hs AS (
-  SELECT doc_id,
-         list_transform(shingles, s -> {DUCK_H64.format(x='s')} % {_MERS}) AS hashes
-  FROM sh
-),
-mh AS (
-  SELECT doc_id,
-         list_transform(range(0, {N_PERMS}),
-             j -> list_min(list_transform(hashes,
-                 h -> (h * (2*j + 1) + j * 1000003) % {_MERS}))) AS mins
-  FROM hs
-),
-bands AS (
-  SELECT doc_id, b,
-         {DUCK_H64.format(x=f"array_to_string(list_transform(range(1, {ROWS_PER_BAND + 1}), r -> mins[(b*{ROWS_PER_BAND}+r)::int]::VARCHAR), ':')")} AS bkey
-  FROM mh, (SELECT unnest(range(0, {N_BANDS})) AS b)
-),
+WITH {bands_chain_duck(_DOCS, N_BANDS, ROWS_PER_BAND)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
   FROM bands a JOIN bands c
@@ -386,31 +424,33 @@ ORDER BY doc_a, doc_b
 """
 
 register("dedup_ngram_jaccard", _jaccard_spark, _JACCARD_DUCK,
-         "exact 3-gram Jaccard verification over LSH candidate pairs only "
-         "(integer milli-Jaccard ≥ 0.1; no unbounded pairwise block)")
+         "exact 3-gram Jaccard verification over guarded LSH candidate "
+         "pairs only (integer milli-Jaccard ≥ 0.1; no unbounded pairwise "
+         "block)")
 
 
-# -- duplicate clusters: connected components over LSH candidate edges ------
+# -- duplicate clusters: connected components over LSH candidate edges --------
 # The full dedup story: LSH candidate pairs are EDGES; duplicate groups
-# are the connected components. Spark runs iterative min-label
-# propagation (the scalable formulation — each round is one broadcast-
-# able aggregation+join, converging in O(diameter) rounds); the oracle
-# computes the same components with a recursive CTE.
+# are the connected components. Two formulations exist; ONE is gated:
+#
+# - `label_propagation_components` (below) — iterative min-label
+#   propagation, one broadcastable aggregation+join per round, converging
+#   in O(diameter) rounds. Retired from the driver registry in r3 (the
+#   star variant strictly dominates at scale); still crosschecked against
+#   the recursive-CTE oracle by tests/test_retired_ops.py.
+# - `dedup_cluster_star` — alternating large-star / small-star
+#   contraction (Kiveris et al.): O(log n) rounds independent of
+#   component DIAMETER — the difference between 8 and 10^4 rounds on a
+#   10^12-row near-dup chain.
 
 
-def _cluster_spark(spark, sf_dir: str):
+def label_propagation_components(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
-    from . import load_views
-    load_views(spark, sf_dir)
-    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
-    a, c = bands.alias("a"), bands.alias("c")
-    edges = (a.join(c, (F.col("a.b") == F.col("c.b"))
-                    & (F.col("a.bkey") == F.col("c.bkey"))
-                    & (F.col("a.doc_id") < F.col("c.doc_id")))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("c.doc_id").alias("dst"))
-             .distinct().localCheckpoint())
+    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
+    edges = (candidate_pairs(bands)
+             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .localCheckpoint())
     # undirected adjacency
     adj = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
@@ -438,9 +478,9 @@ def _cluster_spark(spark, sf_dir: str):
             .orderBy("doc_id"))
 
 
-_CLUSTER_DUCK = f"""
+_CLUSTER_DUCK = """
 WITH RECURSIVE
-bands AS ({{bands_sql}}),
+{bands_chain},
 edges AS (
   SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
   FROM bands a JOIN bands c
@@ -463,30 +503,11 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 
 def _cluster_duck_sql() -> str:
-    # embed the band computation (everything up to the bands SELECT)
-    inner = _MINHASH_DUCK.strip()
-    # _MINHASH_DUCK is "WITH toks AS (...), ... SELECT DISTINCT a.doc_id ..."
-    # we need just the bands relation: rewrap its CTE chain.
-    prefix = inner[len("WITH "):inner.index("SELECT DISTINCT")]
-    bands_sql = ("SELECT doc_id, b, bkey FROM (WITH " + prefix.rstrip().rstrip(",")
-                 + " SELECT doc_id, b, bkey FROM bands)")
-    return _CLUSTER_DUCK.format(bands_sql=bands_sql)
+    return _CLUSTER_DUCK.format(
+        bands_chain=bands_chain_duck(_DOCS, N_BANDS, ROWS_PER_BAND))
 
 
-register("dedup_cluster_components", _cluster_spark, _cluster_duck_sql(),
-         "duplicate clusters = connected components over LSH candidate "
-         "edges; iterative min-label propagation (Spark) vs recursive CTE "
-         "(oracle) — the one genuinely iterative operator")
-
-
-# -- duplicate clusters, star-contraction variant ----------------------------
-# Alternating large-star / small-star contraction (Kiveris et al.,
-# "Connected Components in MapReduce and Beyond", public algorithm):
-# converges in O(log n) rounds independent of component DIAMETER, where
-# min-label propagation above needs O(diameter) rounds — the difference
-# between 8 and 10^4 rounds on a 10^12-row near-dup chain. Each round is
-# two groupBy+join passes over the edge list; same recursive-CTE oracle
-# as dedup_cluster_components.
+# -- duplicate clusters, star-contraction variant ------------------------------
 
 
 def star_components(edges, nodes, max_rounds: int = 20):
@@ -494,7 +515,9 @@ def star_components(edges, nodes, max_rounds: int = 20):
     DataFrame (u, v) → (doc_id, cluster_id) labels for every node in
     ``nodes``. Returns (labels_df, rounds_used). Each round is two
     groupBy+join passes; converges in O(log n) rounds regardless of
-    component diameter."""
+    component diameter. Raises RuntimeError if the edge set has not
+    converged after max_rounds (silent wrong labels are worse than a
+    loud failure — tune max_rounds upward for adversarial graphs)."""
     import pyspark.sql.functions as F
 
     def large_star(e):
@@ -524,21 +547,34 @@ def star_components(edges, nodes, max_rounds: int = 20):
                 .where(F.col("u") != F.col("v"))
                 .distinct())
 
-    def fingerprint(e) -> tuple:
-        # bit_xor never overflows (sum of 64-bit hashes would under ANSI)
+    def marker(e) -> tuple:
+        # Order-independent EXACT edge-set marker: count + xor + bounded
+        # sum of per-edge hashes. xor alone can spuriously collide on a
+        # changed edge set (pairs cancel); adding the count and a
+        # mod-prime sum makes an undetected same-marker change require a
+        # simultaneous xor AND sum AND count collision. The sum runs mod
+        # a prime so it cannot overflow under ANSI arithmetic.
         row = (e.agg(F.count("*").alias("n"),
-                     F.expr("bit_xor(xxhash64(u, v))").alias("h"))
+                     F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                     F.expr("sum(pmod(xxhash64(u, v), 1000000007))")
+                     .alias("s"))
                .collect())[0]
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["s"])
 
     prev = None
+    converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         edges = small_star(large_star(edges)).localCheckpoint()
-        fp = fingerprint(edges)
+        fp = marker(edges)
         if fp == prev:
+            converged = True
             break
         prev = fp
+    if not converged:
+        raise RuntimeError(
+            f"star_components: edge set still changing after {max_rounds} "
+            "rounds — raise max_rounds (components need O(log n) rounds)")
     # converged: every non-root points directly at its component root
     final = edges.select(F.col("u").alias("doc_id"),
                          F.col("v").alias("root"))
@@ -552,16 +588,10 @@ def star_components(edges, nodes, max_rounds: int = 20):
 def _cluster_star_spark(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
-    from . import load_views
-    load_views(spark, sf_dir)
-    bands = spark.sql(_MINHASH_SPARK).localCheckpoint()
-    a, c = bands.alias("a"), bands.alias("c")
-    edges = (a.join(c, (F.col("a.b") == F.col("c.b"))
-                    & (F.col("a.bkey") == F.col("c.bkey"))
-                    & (F.col("a.doc_id") < F.col("c.doc_id")))
-             .select(F.col("a.doc_id").alias("u"),
-                     F.col("c.doc_id").alias("v"))
-             .distinct().localCheckpoint())
+    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
+    edges = (candidate_pairs(bands)
+             .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .localCheckpoint())
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .union(edges.select(F.col("v").alias("doc_id")))
              .distinct().localCheckpoint())
@@ -572,4 +602,4 @@ def _cluster_star_spark(spark, sf_dir: str):
 register("dedup_cluster_star", _cluster_star_spark, _cluster_duck_sql(),
          "duplicate clusters via alternating large-star/small-star "
          "contraction — O(log n) rounds vs O(diameter) for label "
-         "propagation; same recursive-CTE oracle")
+         "propagation; recursive-CTE oracle; guarded LSH edges")

@@ -1,13 +1,14 @@
 """Multimodal operators: binary media payloads with typed metadata.
 
-- ``mm_media_stats``: pure-SQL byte statistics over blobs (both engines
-  iterate the hex encoding — no UDF), cross-checked against DuckDB.
-- ``mm_media_features``: the real mapInPandas feature stage (entropy,
-  content hash), cross-checked against a DuckDB oracle that recomputes
-  byte histograms from hex(payload). Entropy is bit-exact across engines
-  because both accumulate ``p*log2(p)`` terms sequentially in ascending
-  byte-value order (DuckDB via ``list_reduce`` over an ORDER BY b list;
-  IEEE negation is exact, so sum-then-negate == sequential subtract).
+- ``mm_media_features``: the real mapInPandas feature stage (byte stats,
+  entropy, content hash, format metadata — the r2 mm_media_stats
+  pure-SQL byte statistics are folded into this one gated query so the
+  registry fits the driver's 50-query window), cross-checked against a
+  DuckDB oracle that recomputes byte histograms from hex(payload).
+  Entropy is bit-exact across engines because both accumulate
+  ``p*log2(p)`` terms sequentially in ascending byte-value order (DuckDB
+  via ``list_reduce`` over an ORDER BY b list; IEEE negation is exact,
+  so sum-then-negate == sequential subtract).
 - decode/resize and frame-sample stages live in ``media.py`` with the
   codec boundary stubbed (no imaging libs in this environment); their
   Spark plumbing is covered by tests/test_media.py.
@@ -19,7 +20,6 @@ from pyspark.sql import SparkSession
 
 from . import register
 from ..media import media_features, write_media
-from .textstats import DUCK_H64, SPARK_H64
 
 
 def _ensure(spark: SparkSession):
@@ -27,46 +27,6 @@ def _ensure(spark: SparkSession):
     df = spark.read.parquet(path)
     df.createOrReplaceTempView("media")
     return df, path
-
-
-_STATS_SPARK = f"""
-WITH hx AS (
-  SELECT media_id, kind, fmt, width, height,
-         length(payload) AS n_bytes, hex(payload) AS h
-  FROM media
-)
-SELECT media_id, kind, fmt, n_bytes,
-       aggregate(sequence(0, n_bytes - 1), 0L,
-                 (acc, i) -> acc + CAST(conv(substring(h, CAST(i*2+1 AS INT), 2), 16, 10) AS BIGINT))
-         * 1000 DIV n_bytes AS byte_mean_milli,
-       CASE WHEN height > 0 THEN CAST(width AS BIGINT) * 1000 DIV height
-            ELSE 0 END AS aspect_milli,
-       {SPARK_H64.format(x='h')} AS payload_hash
-FROM hx
-ORDER BY media_id
-"""
-
-_STATS_DUCK = f"""
-WITH hx AS (
-  SELECT media_id, kind, fmt, width, height,
-         octet_length(payload) AS n_bytes, hex(payload) AS h
-  FROM media
-)
-SELECT media_id, kind, fmt, n_bytes,
-       list_sum(list_transform(range(0, n_bytes),
-                i -> ('0x' || substr(h, (i*2+1)::int, 2))::BIGINT))::BIGINT
-         * 1000 // n_bytes AS byte_mean_milli,
-       CASE WHEN height > 0 THEN width::BIGINT * 1000 // height
-            ELSE 0 END AS aspect_milli,
-       {DUCK_H64.format(x='h')} AS payload_hash
-FROM hx
-ORDER BY media_id
-"""
-
-
-def _stats_spark(spark: SparkSession, sf_dir: str):
-    _ensure(spark)
-    return spark.sql(_STATS_SPARK)
 
 
 def _features_spark(spark: SparkSession, sf_dir: str):
@@ -81,7 +41,7 @@ def _features_spark(spark: SparkSession, sf_dir: str):
 # uppercase hex payload (DuckDB v1.0 md5 takes VARCHAR only).
 _FEATURES_DUCK = """
 WITH hx AS (
-  SELECT media_id, kind, width, height,
+  SELECT media_id, kind, fmt, width, height,
          octet_length(payload) AS n_bytes, hex(payload) AS h
   FROM {src}
 ),
@@ -102,7 +62,7 @@ ent AS (
   FROM cnts c JOIN hx x USING (media_id)
   GROUP BY c.media_id
 )
-SELECT x.media_id, x.kind,
+SELECT x.media_id, x.kind, x.fmt,
        CAST(x.n_bytes AS BIGINT) AS n_bytes,
        e.total * 1000 // x.n_bytes AS byte_mean_milli,
        CAST(trunc(-e.neg_ent * 1000) AS BIGINT) AS byte_entropy_milli,
@@ -120,13 +80,11 @@ def _register() -> None:
     from ..transcripts import DATA_DIR
     path = os.path.join(DATA_DIR, "media_2000.parquet")  # written on demand
     src = f"read_parquet('{path}')"
-    register("mm_media_stats", _stats_spark,
-             _STATS_DUCK.replace("FROM media", f"FROM {src}"),
-             "pure-SQL blob byte statistics (hex-iteration, no UDF)")
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),
-             "mapInPandas media feature extraction (entropy/content hash) "
-             "vs hex-histogram DuckDB oracle (bit-exact entropy)")
+             "mapInPandas media feature extraction (byte stats, entropy, "
+             "content hash, format metadata) vs hex-histogram DuckDB "
+             "oracle (bit-exact entropy)")
 
 
 _register()

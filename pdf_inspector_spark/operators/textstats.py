@@ -38,21 +38,37 @@ _STOPWORDS = "('the','a','and','of','to','in','is','for','on','with')"
 
 
 # -- language ID ------------------------------------------------------------
+# Two independent heuristics in one per-doc pass (folded from the r2
+# text_langid + text_langid_trigram queries so the registry fits the
+# driver's 50-query gate window): a stopword-ratio decision and a
+# character-trigram-profile decision (top English / Spanish trigrams).
+# Pure array expressions in both engines; integer-ratio decisions only.
+
+_EN_TRIGRAMS = ("('the',' th','he ','ing','nd ',' an','and',' of','of ','ed ',"
+                "'to ',' to','er ',' in','ion','ati',' co','ent')")
+_ES_TRIGRAMS = ("('de ',' de','os ','la ',' la','el ',' el','es ','ión','ció',"
+                "'ent','en ',' en','ar ','ado','que',' qu','ue ')")
 
 _LANGID_SPARK = f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+         filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts,
+         transform(sequence(1, greatest(length(text) - 2, 1)),
+                   i -> substring(lower(text), i, 3)) AS tg
   FROM documents
 ),
 scored AS (
   SELECT doc_id, lang, size(ts) AS n_tokens,
-         size(filter(ts, t -> t IN {_STOPWORDS})) AS n_stop
+         size(filter(ts, t -> t IN {_STOPWORDS})) AS n_stop,
+         size(filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
+         size(filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits
   FROM toks
 )
 SELECT doc_id, lang, n_tokens, n_stop,
        CASE WHEN n_tokens > 0 AND n_stop * 20 >= n_tokens
-            THEN 'en' ELSE 'other' END AS pred_lang
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       en_hits, es_hits,
+       CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS pred_trigram
 FROM scored
 ORDER BY doc_id
 """
@@ -61,23 +77,30 @@ _LANGID_DUCK = f"""
 WITH toks AS (
   SELECT doc_id, lang,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS ts
+                     x -> x <> '') AS ts,
+         list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                        i -> substr(lower(text), i::int, 3)) AS tg
   FROM documents
 ),
 scored AS (
   SELECT doc_id, lang, len(ts) AS n_tokens,
-         len(list_filter(ts, t -> t IN {_STOPWORDS})) AS n_stop
+         len(list_filter(ts, t -> t IN {_STOPWORDS})) AS n_stop,
+         len(list_filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
+         len(list_filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits
   FROM toks
 )
 SELECT doc_id, lang, n_tokens, n_stop,
        CASE WHEN n_tokens > 0 AND n_stop * 20 >= n_tokens
-            THEN 'en' ELSE 'other' END AS pred_lang
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       en_hits, es_hits,
+       CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS pred_trigram
 FROM scored
 ORDER BY doc_id
 """
 
 register("text_langid", _sql(_LANGID_SPARK), _LANGID_DUCK,
-         "stopword-ratio language ID (integer-ratio decision, no float)")
+         "language ID: stopword-ratio AND character-trigram-profile "
+         "decisions per document (integer ratios, no float)")
 
 
 # -- quality scoring --------------------------------------------------------
@@ -177,11 +200,17 @@ _BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 _BPE_SPARK_LIT = _BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
 _BPE_DUCK_LIT = _BPE_PATTERN.replace("'", "''")
 
+# Folded-in document fingerprint (winnowing-lite, Schleimer et al. 2003):
+# hash every 8-char window at stride 4, keep the minimum. Same per-doc
+# grain as the token counts, so it rides the same scan.
+
 _BPE_SPARK = f"""
 SELECT doc_id,
        size(filter(split(text, '\\\\s+'), x -> x != '')) AS n_ws_tokens,
        size(regexp_extract_all(text, '{_BPE_SPARK_LIT}', 0)) AS n_bpe_tokens,
-       length(text) AS n_chars
+       length(text) AS n_chars,
+       array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4),
+                           i -> {SPARK_H64.format(x='substring(text, i, 8)')})) AS fingerprint
 FROM documents
 ORDER BY doc_id
 """
@@ -190,84 +219,16 @@ _BPE_DUCK = f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{_BPE_DUCK_LIT}')) AS n_bpe_tokens,
-       length(text) AS n_chars
-FROM documents
-ORDER BY doc_id
-"""
-
-register("text_bpe_tokens", _sql(_BPE_SPARK), _BPE_DUCK,
-         "BPE-ish pre-tokenizer counts (GPT-2-style regex) per document")
-
-
-# -- trigram-profile language ID -------------------------------------------
-# Character-n-gram heuristic: score = how many of the text's character
-# trigrams appear in a fixed per-language profile (top English / Spanish
-# trigrams). Pure array expressions in both engines.
-
-_EN_TRIGRAMS = ("('the',' th','he ','ing','nd ',' an','and',' of','of ','ed ',"
-                "'to ',' to','er ',' in','ion','ati',' co','ent')")
-_ES_TRIGRAMS = ("('de ',' de','os ','la ',' la','el ',' el','es ','ión','ció',"
-                "'ent','en ',' en','ar ','ado','que',' qu','ue ')")
-
-_TRIGRAM_SPARK = f"""
-WITH grams AS (
-  SELECT doc_id, lang,
-         transform(sequence(1, greatest(length(text) - 2, 1)),
-                   i -> substring(lower(text), i, 3)) AS tg
-  FROM documents
-)
-SELECT doc_id, lang,
-       size(filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
-       size(filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits,
-       CASE WHEN size(filter(tg, g -> g IN {_EN_TRIGRAMS}))
-                 >= size(filter(tg, g -> g IN {_ES_TRIGRAMS}))
-            THEN 'en' ELSE 'es' END AS pred_lang
-FROM grams
-ORDER BY doc_id
-"""
-
-_TRIGRAM_DUCK = f"""
-WITH grams AS (
-  SELECT doc_id, lang,
-         list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-                        i -> substr(lower(text), i::int, 3)) AS tg
-  FROM documents
-)
-SELECT doc_id, lang,
-       len(list_filter(tg, g -> g IN {_EN_TRIGRAMS})) AS en_hits,
-       len(list_filter(tg, g -> g IN {_ES_TRIGRAMS})) AS es_hits,
-       CASE WHEN len(list_filter(tg, g -> g IN {_EN_TRIGRAMS}))
-                 >= len(list_filter(tg, g -> g IN {_ES_TRIGRAMS}))
-            THEN 'en' ELSE 'es' END AS pred_lang
-FROM grams
-ORDER BY doc_id
-"""
-
-register("text_langid_trigram", _sql(_TRIGRAM_SPARK), _TRIGRAM_DUCK,
-         "character-trigram-profile language ID (n-gram heuristic)")
-
-
-# -- rolling-hash fingerprint ----------------------------------------------
-# Winnowing-lite: hash every 8-char window at stride 4, keep the minimum.
-
-_FP_SPARK = f"""
-SELECT doc_id,
-       array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4),
-                           i -> {SPARK_H64.format(x='substring(text, i, 8)')})) AS fingerprint
-FROM documents
-ORDER BY doc_id
-"""
-
-_FP_DUCK = f"""
-SELECT doc_id,
+       length(text) AS n_chars,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
                                i -> {DUCK_H64.format(x='substr(text, i::int, 8)')})) AS fingerprint
 FROM documents
 ORDER BY doc_id
 """
 
-register("text_fingerprint", _sql(_FP_SPARK), _FP_DUCK,
-         "rolling-hash winnowing fingerprint (min of windowed md5-60bit)")
+register("text_bpe_tokens", _sql(_BPE_SPARK), _BPE_DUCK,
+         "BPE-ish pre-tokenizer counts (GPT-2-style regex) + rolling-hash "
+         "winnowing fingerprint per document")
 
 
 # -- train/test decontamination ----------------------------------------------
@@ -409,8 +370,13 @@ register("text_pii_scrub", _sql(_PII_SPARK), _PII_DUCK,
 
 # -- repetition statistics (Gopher-style quality filters) --------------------
 # Duplicate-line fraction and top-bigram share as exact integer ratios
-# (×1000), computed with array expressions only — the repetition filters
-# every LLM data pipeline applies before training.
+# (×1000) — the repetition filters every LLM data pipeline applies before
+# training. The Spark top-bigram path is LINEAR in document length:
+# explode bigrams → groupBy(doc_id, gram) → max(count). The r2
+# formulation (aggregate over array_distinct × filter-count) was
+# O(distinct-grams × grams) per row — ~10^12 comparisons in ONE task for
+# a 10^6-token document. The oracle keeps the list formulation (same
+# values; sf0.01 docs are short).
 
 _REP_SPARK = """
 WITH feats AS (
@@ -419,28 +385,35 @@ WITH feats AS (
          filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
   FROM documents
 ),
-bi AS (
-  SELECT doc_id, lines, ts,
-         filter(transform(sequence(1, greatest(size(ts) - 1, 1)),
-                   i -> CASE WHEN i + 1 <= size(ts)
-                        THEN concat(element_at(ts, i), ' ',
-                                    element_at(ts, i + 1)) END),
-                x -> x IS NOT NULL) AS bigrams
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN size(lines) > 0
+              THEN (size(lines) - size(array_distinct(lines))) * 1000
+                   DIV size(lines) ELSE 0 END AS BIGINT) AS dup_line_milli,
+         CAST(size(ts) AS BIGINT) AS n_tokens,
+         CASE WHEN size(ts) >= 2
+              THEN transform(sequence(1, size(ts) - 1),
+                     i -> concat(element_at(ts, i), ' ',
+                                 element_at(ts, i + 1)))
+              ELSE array() END AS bigrams
   FROM feats
+),
+g AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM base LATERAL VIEW explode(bigrams) AS gram
+  GROUP BY doc_id, gram
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+  FROM g GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(CASE WHEN size(lines) > 0
-            THEN (size(lines) - size(array_distinct(lines))) * 1000
-                 DIV size(lines) ELSE 0 END AS BIGINT) AS dup_line_milli,
-       CAST(CASE WHEN size(bigrams) > 0
-            THEN aggregate(array_distinct(bigrams), 0,
-                   (acc, g) -> greatest(acc,
-                     size(filter(bigrams, x -> x = g)))) * 1000
-                 DIV size(bigrams) ELSE 0 END AS BIGINT)
+SELECT b.doc_id,
+       b.dup_line_milli,
+       CAST(COALESCE(t.top_c * 1000 DIV t.n_bigrams, 0) AS BIGINT)
          AS top_bigram_milli,
-       CAST(size(ts) AS BIGINT) AS n_tokens
-FROM bi
-ORDER BY doc_id
+       b.n_tokens
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+ORDER BY b.doc_id
 """
 
 _REP_DUCK = """

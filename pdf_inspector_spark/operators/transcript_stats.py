@@ -60,6 +60,12 @@ register("conv_role_stats", _role_stats, _ROLE_DUCK,
          "role/tool mix over the transcripts table (two-phase hash agg)")
 
 
+# Per-conversation temporal shape (span + inter-turn gaps, epoch BIGINT,
+# partition-parallel window). NOT separately registered since r3: the gap
+# columns ride on conv_assemble_docs (same per-conversation grain, one
+# gated query — keeps the registry inside the driver's 50-query window).
+# conversation.py joins GAPS_BODY_SPARK / GAPS_BODY_DUCK in.
+
 _GAPS_SPARK = """
 WITH g AS (
   SELECT conv_id, turn_idx,
@@ -102,6 +108,7 @@ GROUP BY conv_id
 ORDER BY conv_id
 """
 
-register("conv_turn_gaps", _turn_gaps, _GAPS_DUCK,
-         "per-conversation temporal shape: span and inter-turn gaps "
-         "(epoch BIGINT; partition-parallel window)")
+GAPS_SPARK_SQL = _GAPS_SPARK
+GAPS_DUCK_SQL = _GAPS_DUCK
+turn_gaps_spark = _turn_gaps
+ensure_transcripts_view = _view

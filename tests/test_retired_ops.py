@@ -1,0 +1,77 @@
+"""Operators retired from the driver registry in r3 (to fit the 50-query
+gate window) stay correctness-checked here, against the same DuckDB
+oracles the gate used, at driver strength (exact values, no Decimal /
+float normalization).
+
+Retired-but-kept:
+- rel_asof_last_event   (as-of join via running window) — driver-green r02
+- dedup_cluster_components (min-label propagation CC)   — driver-green r02
+- conv_turn_gaps standalone (now folded into conv_assemble_docs; the
+  standalone query is exercised here to keep the window formulation
+  pinned)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _compare(sdf, con, duck_sql):
+    srows = sorted(str(tuple(_norm(v) for v in r)) for r in sdf.collect())
+    res = con.execute(duck_sql)
+    dcols = [d[0] for d in res.description]
+    drows = sorted(str(tuple(_norm(v) for v in r)) for r in res.fetchall())
+    assert sdf.columns == dcols
+    assert len(srows) == len(drows)
+    assert srows == drows
+    return len(srows)
+
+
+def test_asof_last_event(spark, duck):
+    from pdf_inspector_spark.operators.relational import ASOF_SQL, asof_spark
+    n = _compare(asof_spark(spark, SF_DIR), duck, ASOF_SQL)
+    assert n > 0
+
+
+def test_label_propagation_components(spark, duck):
+    from pdf_inspector_spark.operators.dedup import (
+        _cluster_duck_sql, label_propagation_components)
+    n = _compare(label_propagation_components(spark, SF_DIR), duck,
+                 _cluster_duck_sql())
+    assert n > 0  # sf0.001 documents must produce at least one LSH edge
+
+
+def test_turn_gaps_standalone(spark, duck):
+    from pdf_inspector_spark.operators.transcript_stats import (
+        GAPS_DUCK_SQL, turn_gaps_spark)
+    n = _compare(turn_gaps_spark(spark, SF_DIR), duck, GAPS_DUCK_SQL)
+    assert n > 0

@@ -76,7 +76,10 @@ def _pdf2md(path: str, mode: str, out_file: str | None = None) -> int:
             "page_count": r["page_count"],
             "has_text": r["text"] is not None,
             "processing_time_ms": r["processing_time_ms"],
-            "markdown_length": len(r["markdown"] or ""),
+            # UTF-8 BYTE length: the reference emits markdown.len(), and
+            # Rust String::len() counts bytes, not code points — the two
+            # diverge for any non-ASCII markdown.
+            "markdown_length": len((r["markdown"] or "").encode("utf-8")),
             "markdown": r["markdown"] or "",
         }) + "\n"
     elif mode == "--raw":

@@ -321,7 +321,7 @@ _TRAILER_RE = re.compile(rb"trailer")
 # ~4GB/worker budget at local[32]; typical entries are a few hundred B.
 _INTERN_MAX = 2048
 _INTERN_SPAN_MAX = 1 << 16
-_obj_intern: "OrderedDict[bytes, Any]" = OrderedDict()
+_obj_intern: "OrderedDict[tuple, Any]" = OrderedDict()
 # 'endstream' keyword expected right after a /Length-sized slice,
 # tolerating the spec's optional EOL (and a little stray whitespace).
 _ENDSTREAM_AT_RE = re.compile(rb"[\x00\t\n\x0c\r ]{0,4}endstream")
@@ -347,15 +347,19 @@ class Document:
             start = m.end()
             # Cross-document object interning: font programs, width
             # tables, and page templates repeat byte-identically across a
-            # corpus. Key = md5 of the span up to 'endobj'; an entry is
-            # stored ONLY when the parse consumed no bytes past that span
-            # (so identical spans guarantee identical parses even if a
-            # stream payload contains a bogus 'endobj'). Parsed objects
-            # are never mutated after load — interning shares them.
+            # corpus. Key = sha256+length of the span up to 'endobj'
+            # (sha256, not md5: the pool is process-global and outlives a
+            # single document, so a practical md5 chosen-prefix collision
+            # in a crawled corpus could graft one document's objects into
+            # another for the executor's lifetime); an entry is stored
+            # ONLY when the parse consumed no bytes past that span (so
+            # identical spans guarantee identical parses even if a stream
+            # payload contains a bogus 'endobj'). Parsed objects are
+            # never mutated after load — interning shares them.
             e = buf.find(b"endobj", start)
             key = None
             if e != -1 and e - start <= _INTERN_SPAN_MAX:
-                key = hashlib.md5(buf[start:e]).digest()
+                key = (hashlib.sha256(buf[start:e]).digest(), e - start)
                 hit = intern.get(key)
                 if hit is not None:
                     intern.move_to_end(key)
@@ -599,18 +603,19 @@ _CONTENT_TOKEN_RE = re.compile(
 
 # Decoded content-stream cache: content streams repeat byte-identically
 # across template documents. The returned Operation list is shared and
-# read-only by contract (the interpreter only iterates it).
+# read-only by contract (the interpreter only iterates it). Keyed by
+# sha256+length — same collision rationale as the intern pool above.
 _DECODE_MAX = 512
 _DECODE_DATA_MAX = 1 << 16  # don't cache decodes of very large streams
-_decode_cache: "OrderedDict[bytes, list[Operation]]" = OrderedDict()
+_decode_cache: "OrderedDict[tuple, list[Operation]]" = OrderedDict()
 
 
 def decode_content(data: bytes) -> list[Operation]:
     """Decode a content stream into a list of operations (memoized on
-    md5 of the stream bytes; see _decode_cache)."""
+    sha256+length of the stream bytes; see _decode_cache)."""
     if len(data) > _DECODE_DATA_MAX:
         return _decode_content_uncached(data)
-    key = hashlib.md5(data).digest()
+    key = (hashlib.sha256(data).digest(), len(data))
     hit = _decode_cache.get(key)
     if hit is not None:
         _decode_cache.move_to_end(key)

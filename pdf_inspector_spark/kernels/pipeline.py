@@ -21,8 +21,12 @@ from .markdown import MarkdownOptions, to_markdown_from_items
 # Content-addressed result LRU (per process / per executor). In transcript
 # corpora the same attachment recurs across turns and conversations
 # (re-sent PDFs, standard forms, template documents), so keying the
-# per-document result on md5(payload) converts every repeat into a dict
-# copy. Bounded; the kernel is pure, so a hit is byte-identical to a
+# per-document result on sha256(payload)+length converts every repeat
+# into a dict copy. sha256 (not md5): chosen-prefix md5 collisions are
+# practical and colliding PDF pairs are published on the web, so an
+# md5-keyed cache would return one crawled document's extraction for
+# another; the digest cost is negligible next to the parse it avoids.
+# Bounded; the kernel is pure, so a hit is byte-identical to a
 # recompute. Disable with process_pdf_mem(..., use_cache=False) — the
 # perf harness does, to measure the raw kernel.
 _CACHE_MAX = 4096
@@ -97,13 +101,13 @@ def process_pdf_mem(buf: bytes,
     stages (the reference re-loads per stage, src/lib.rs:46+51; at
     100 TB the duplicate parse dominates, so we hoist it).
 
-    Results are memoized on md5(buf) (see _result_cache above). Only the
-    default config/options are cached; custom configs bypass."""
+    Results are memoized on sha256(buf)+len (see _result_cache above).
+    Only the default config/options are cached; custom configs bypass."""
     cacheable = use_cache and options is None and config is None
     if config is None:
         config = _DEFAULT_CONFIG
     if cacheable:
-        key = (hashlib.md5(buf).digest(), with_markdown)
+        key = (hashlib.sha256(buf).digest(), len(buf), with_markdown)
         hit = _result_cache.get(key)
         if hit is not None:
             _result_cache.move_to_end(key)

@@ -119,12 +119,12 @@ def _dedup_extracted(spark: SparkSession, sf_dir: str):
     on DERIVED text, never on raw payloads)."""
     return (_pipeline_result(spark)
             .where(F.col("text_out").isNotNull())
-            .groupBy(F.md5(F.col("text_out")).alias("text_md5"))
+            .groupBy(F.sha2(F.col("text_out"), 256).alias("text_sha"))
             .agg(F.count("*").alias("n_copies"),
                  F.min(F.concat_ws(":", "conv_id",
                                    F.col("turn_idx").cast("string")))
                  .alias("keeper_turn"))
-            .orderBy("text_md5"))
+            .orderBy("text_sha"))
 
 
 def _quality_extracted(spark: SparkSession, sf_dir: str):
@@ -235,13 +235,14 @@ def _register_all() -> None:
     """, "per-turn span counts — span-output coverage of the contract")
 
     register("pi_dedup_extracted_turns", _dedup_extracted, f"""
-        SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+        SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies,
                MIN(conv_id || ':' || turn_idx::VARCHAR) AS keeper_turn
         FROM {exp}
         WHERE text IS NOT NULL
-        GROUP BY md5(text)
-        ORDER BY text_md5
-    """, "extraction → exact dedup composition over derived turn texts")
+        GROUP BY sha256(text)
+        ORDER BY text_sha
+    """, "extraction → exact dedup composition over derived turn texts "
+         "(full sha256 group key — see dedup.py collision rationale)")
 
     register("pi_quality_extracted", _quality_extracted, f"""
         WITH feats AS (

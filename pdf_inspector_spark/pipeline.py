@@ -276,20 +276,23 @@ def run_pipeline_dedup(df: DataFrame, *, with_markdown: bool = True,
     """Dedup-aware extraction plan: express payload repetition in the
     PLAN instead of (only) the executor-local LRU.
 
-        Scan → partial/final first-agg on md5(payload)   (map-side combine
-                collapses duplicates BEFORE the exchange — each scan task
-                emits one row per DISTINCT payload it saw)
+        Scan → partial/final first-agg on sha256(payload):length
+                (map-side combine collapses duplicates BEFORE the exchange
+                — each scan task emits one row per DISTINCT payload it saw)
              → ArrowEvalPython over DISTINCT payloads only
              → join derived columns back on the content key
 
     Only distinct documents ever cross the JVM→Python Arrow boundary, and
     payloads never ride a wide shuffle (the distinct exchange carries one
     payload per (task × distinct-doc); the join back carries derived
-    columns + a 32-char key). At 10^12 turns with heavy attachment reuse
+    columns + a ~70-char key). At 10^12 turns with heavy attachment reuse
     this turns extraction cost from O(rows) into O(distinct docs) at the
     PLAN level — Catalyst/AQE can see and size it, unlike the in-UDF LRU.
-    Content key = md5 (collision-free in practice; xxhash64's 64 bits
-    birthday-collide near 10^9-10^10 distinct docs).
+    Content key = sha256 + payload length: chosen-prefix md5 collisions
+    are practical and colliding PDF pairs are published, so an md5 key
+    would let one crawled document silently adopt another's extraction;
+    xxhash64's 64 bits birthday-collide near 10^9-10^10 distinct docs.
+    The digest cost is negligible next to the parse it deduplicates.
 
     Skew note: this plan needs NO conversation salting — the expensive
     stage partitions by CONTENT hash, so a mega-conversation (many turns,
@@ -301,8 +304,13 @@ def run_pipeline_dedup(df: DataFrame, *, with_markdown: bool = True,
     per payload) — asserted in tests/test_spark_pipeline.py."""
     # NULL payloads get a sentinel key: equi-joins drop NULL keys, and
     # the quarantine row for a NULL payload must survive the join back.
-    keyed = df.withColumn("__pk", F.coalesce(F.md5(F.col(payload_col)),
-                                             F.lit("__null_payload__")))
+    # F.concat (NOT concat_ws) so a NULL payload yields a NULL key and
+    # falls through to the sentinel — concat_ws would yield "".
+    keyed = df.withColumn(
+        "__pk",
+        F.coalesce(F.concat(F.sha2(F.col(payload_col), 256), F.lit(":"),
+                            F.length(F.col(payload_col)).cast("string")),
+                   F.lit("__null_payload__")))
     distinct = (keyed.groupBy("__pk")
                 .agg(F.first(payload_col, ignorenulls=False)
                      .alias(payload_col)))

@@ -50,7 +50,8 @@ def test_neardup_plan_blocks_on_bucket_equijoin(spark, sf_available):
     plan = _plan(_neardup_spark(spark, sf_available))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "bucket" in plan, plan
+    # banded OR-construction: candidates join on (band, bkey)
+    assert "band" in plan and "bkey" in plan, plan
 
 
 def test_exact_dedup_aggregates_with_partial_merge(spark, sf_available):
@@ -62,6 +63,15 @@ def test_exact_dedup_aggregates_with_partial_merge(spark, sf_available):
     plan = _plan(spark.sql(_EXACT_SPARK))
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivf_training_iterates_effectively(spark, sf_available):
+    """VERDICT r2 item 8: the trained IVF must run ≥2 EFFECTIVE Lloyd
+    iterations (assignments still moving in round 2), not a single step
+    with dead extra rounds."""
+    from pdf_inspector_spark.operators.similarity import ivf_train
+    _asg, moved = ivf_train(spark, sf_available)
+    assert len(moved) >= 2 and moved[0] > 0 and moved[1] > 0, moved
 
 
 def test_star_contraction_converges_in_log_rounds(spark):

@@ -547,6 +547,91 @@ def _rotated_text() -> bytes:
     return build_pdf(objs)
 
 
+def _diagonal_text() -> bytes:
+    """30°-rotated Tm (cos=0.866, sin=0.5) — a non-axis-aligned matrix,
+    unlike the 90° case in _rotated_text: effective size comes from the
+    row norms (src/extractor.rs:1791-1800) and the width advance runs
+    along the rotated baseline through TM×CTM. Pathological-layout
+    fixture (VERDICT r2 item 9)."""
+    content = (b"BT /F1 12 Tf 0.866 0.5 -0.5 0.866 150 300 Tm "
+               b"(Diagonal banner text) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Upright line one) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 684 Tm (Upright line two) Tj ET\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 668 Tm (Upright line three) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
+def _continuation_table() -> bytes:
+    """A table that CONTINUES across a page break: two consecutive
+    table-only pages, one table each, equal column counts — the
+    continuation pages' header+separator rows must be stripped and their
+    data rows appended to the first page's table
+    (src/markdown.rs:261-381, src/tables.rs:946-995)."""
+    header = [b"Region", b"Sales", b"Cost", b"Net"]
+    xs = [100.0, 200.0, 300.0, 400.0]
+
+    def table_page(rows: list[list[bytes]]) -> bytes:
+        items = []
+        for x, t in zip(xs, header):
+            items.append((x, 500.0, 10.0, t))
+        for r, row in enumerate(rows):
+            for x, t in zip(xs, row):
+                items.append((x, 480.0 - 20.0 * r, 10.0, t))
+        return _text_ops(items)
+
+    page1 = table_page([[b"North", b"90.00", b"40.00", b"50.00"],
+                        [b"South", b"80.00", b"35.00", b"45.00"],
+                        [b"East", b"70.00", b"30.00", b"40.00"]])
+    page2 = table_page([[b"West", b"60.00", b"25.00", b"35.00"],
+                        [b"Central", b"50.00", b"20.00", b"30.00"],
+                        [b"Islands", b"40.00", b"15.00", b"25.00"]])
+    objs = _catalog_and_pages([3, 5])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 7 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", page1)
+    objs[5] = _page(5, 6, b"<< /Font << /F1 7 0 R >> >>")
+    objs[6] = _stream_obj(b"<< >>", page2)
+    objs[7] = _HELV_FONT
+    return build_pdf(objs)
+
+
+_RTL_CMAP = b"""1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+5 beginbfchar
+<0001> <05E9>
+<0002> <05DC>
+<0003> <05D5>
+<0004> <05DD>
+<0005> <0020>
+endbfchar"""
+
+
+def _rtl_text() -> bytes:
+    """RTL (Hebrew) run via Type0+ToUnicode: the reference performs NO
+    bidi reordering — CIDs decode in STREAM (logical) order and the
+    output string carries the RTL codepoints as-is
+    (decode cascade src/extractor.rs:1854-1957). Pins that parity plus
+    RTL↔Latin line coexistence."""
+    # codes 0001..0004 = shin lamed vav final-mem ("shalom"), 0005 = space
+    content = (b"BT /F1 12 Tf 72 700 Td <00010002000300050004> Tj ET\n"
+               b"BT /F2 12 Tf 72 684 Td (Latin line follows here) Tj ET\n"
+               b"BT /F2 12 Tf 72 668 Td (Another latin line last) Tj ET")
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R /F2 8 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", content)
+    objs[5] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthRTL "
+               b"/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >>")
+    objs[6] = _stream_obj(b"<< >>", _RTL_CMAP, compress=True)
+    objs[7] = (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthRTL "
+               b"/DW 600 >>")
+    objs[8] = _HELV_FONT
+    return build_pdf(objs)
+
+
 def _contents_array() -> bytes:
     """Page /Contents as an ARRAY of two streams — concatenated before
     interpretation (reference: lopdf get_page_content merges)."""
@@ -886,6 +971,15 @@ def build_corpus() -> list[CorpusEntry]:
                     "error/quarantine channel (src/lib.rs:135-145)"),
         CorpusEntry("rotated_text", _rotated_text(), "text_based",
                     "rotated Tm / effective size norms (src/extractor.rs:1791-1800)"),
+        CorpusEntry("diagonal_text", _diagonal_text(), "text_based",
+                    "30° Tm rotation — non-axis-aligned row norms + "
+                    "rotated-baseline advance (src/extractor.rs:1791-1800)"),
+        CorpusEntry("continuation_table", _continuation_table(), "text_based",
+                    "table continuing across a page break — header strip + "
+                    "row append (src/markdown.rs:261-381)"),
+        CorpusEntry("rtl_text", _rtl_text(), "text_based",
+                    "RTL (Hebrew) CID run — logical-order decode, no bidi "
+                    "(src/extractor.rs:1854-1957)"),
         CorpusEntry("contents_array", _contents_array(), "text_based",
                     "/Contents array of streams (incl. Flate second stream)"),
         CorpusEntry("type3_font", _type3_font(), "text_based",

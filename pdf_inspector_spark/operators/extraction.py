@@ -23,8 +23,10 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v6.parquet")
-EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v6.parquet")
+# v7: +3 pathological-layout corpus entries (diagonal_text,
+# continuation_table, rtl_text) in the payload pool
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v7.parquet")
+EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v7.parquet")
 
 _EXPECTED_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),

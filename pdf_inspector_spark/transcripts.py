@@ -56,6 +56,7 @@ _TEXT_IDS = [
     "lists_code", "links_annots", "page_numbers", "cjk_text",
     "rotated_text", "contents_array", "type3_font", "nested_form",
     "toc_page", "drop_cap", "hyphen_caption", "objstm",
+    "diagonal_text", "continuation_table", "rtl_text",
 ]
 
 
@@ -145,6 +146,20 @@ def table_path(scale: str, data_dir: str = DATA_DIR) -> str:
     return os.path.join(data_dir, f"transcripts_{scale}.parquet")
 
 
+def corpus_fingerprint() -> str:
+    """Content hash of the corpus + payload pool: transcripts tables on
+    disk regenerate automatically when the corpus changes (the r2 flow
+    relied on manual `force=True`, which silently serves stale tables in
+    any environment that kept an old data/ dir)."""
+    h = hashlib.sha256()
+    for k, v in sorted(corpus_payloads().items()):
+        h.update(k.encode())
+        h.update(len(v).to_bytes(8, "big"))
+        h.update(v)
+    h.update("|".join(_POOL).encode())
+    return h.hexdigest()
+
+
 def write_transcripts(scale: str, data_dir: str = DATA_DIR,
                       force: bool = False) -> str:
     """Write (or reuse) the table for a scale as a DIRECTORY of part
@@ -158,8 +173,11 @@ def write_transcripts(scale: str, data_dir: str = DATA_DIR,
     """
     path = table_path(scale, data_dir)
     done_marker = os.path.join(path, "_SUCCESS")
+    fp = corpus_fingerprint()
     if os.path.exists(done_marker) and not force:
-        return path
+        with open(done_marker) as f:
+            if f.read().strip() == fp:
+                return path
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):
         os.unlink(os.path.join(path, old))
@@ -182,8 +200,8 @@ def write_transcripts(scale: str, data_dir: str = DATA_DIR,
         if len(cols["conv_id"]) >= ROWS_PER_FILE:
             flush()
     flush()
-    with open(done_marker, "w"):
-        pass
+    with open(done_marker, "w") as f:
+        f.write(fp + "\n")
     return path
 
 

@@ -51,6 +51,25 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _pin_cmd(cpus: int) -> list[str]:
+    """Pin a measurement subprocess to exactly `cpus` cores (taskset).
+
+    Without pinning, local[N] is NOT an N-core measurement: the JVM's
+    scan/GC/JIT threads run on cores beyond the N executor-python
+    workers, while the hardware control uses exactly N processes. At
+    r2's driver run that asymmetry inflated local[2] to 96% of the
+    2-proc hw ceiling but only 77% at local[8] — read as an
+    'engine-side 2→8 scaling loss' when it was a measurement one. A
+    real N-executor cluster bounds each executor (JVM included) to its
+    core bundle; the pinned subprocess models that. The hw baseline runs
+    inside the same pinned worker, so both sides of every ratio see the
+    identical core budget."""
+    import shutil
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def extraction_worker(cpus: int, scale: str, cached=True) -> dict:
     """One extraction throughput measurement at local[cpus].
 
@@ -80,9 +99,12 @@ def extraction_worker(cpus: int, scale: str, cached=True) -> dict:
         "SPARK_GRAFT_JVM_OPTS",
         "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2")
     arrow_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
+    extra = {"spark.driver.extraJavaOptions": jvm_opts}
+    # scan-path A/B knob (BENCH.md): JSON dict of extra Spark confs
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
     spark = get_spark(f"bench-extract-{cpus}", cpus=cpus,
                       arrow_batch_rows=arrow_rows,
-                      extra_conf={"spark.driver.extraJavaOptions": jvm_opts})
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(tpath)
     n_turns = df.count()
@@ -193,8 +215,8 @@ def main() -> None:
         best: dict[int, dict] = {}
         for cpus in (lo, hi, lo, hi):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(cpus), "t-large", "cached"],
+                _pin_cmd(cpus) + [sys.executable, os.path.abspath(__file__),
+                                  "--worker", str(cpus), "t-large", "cached"],
                 capture_output=True, text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -235,8 +257,8 @@ def main() -> None:
               if CPUS >= 16 else [n_low, CPUS])
     def _spawn(cpus: int, mode: str) -> dict:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             str(cpus), scale, mode],
+            _pin_cmd(cpus) + [sys.executable, os.path.abspath(__file__),
+                              "--worker", str(cpus), scale, mode],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split wave quantization (r3): Spark sizes file splits to
+        # hit defaultParallelism partitions, so an N-core session gets
+        # ~N+1 scan tasks — at local[8] that is 9 tasks = 2 ragged waves
+        # ≈ 56-77% utilization, which r2's driver run read as an
+        # "engine-side 2→8 scaling loss". For CPU-heavy per-row UDF work
+        # tasks must be ≫ cores at EVERY level: target 4 waves. (The r2
+        # fix applied this logic to file count; splits quantize the same
+        # way. A real cluster wants the same: splits ≫ executor cores.)
+        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")

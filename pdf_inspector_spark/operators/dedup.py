@@ -51,6 +51,17 @@ def _sql(query: str):
 
 _MERS = 2147483647  # 2^31 - 1
 
+# 3-word shingles via a zip_with chain over three aligned slices.
+# NOT transform(sequence(1, n-2), i -> ...element_at(ts, i)...): a lambda
+# that CAPTURES the computed token array re-evaluates the array's whole
+# expression chain per element once projection collapse inlines it
+# (O(n²) per document — measured as a hang on a 120k-token doc).
+# zip_with lambdas touch only their element variables, so the chain is
+# linear regardless of how Catalyst collapses the projections.
+_SH3 = ("zip_with(zip_with(slice(ts, 1, size(ts) - 2), "
+        "slice(ts, 2, size(ts) - 2), (a, b) -> concat(a, ' ', b)), "
+        "slice(ts, 3, size(ts) - 2), (a, b) -> concat(a, ' ', b))")
+
 # LSH geometry — the SQL is GENERATED from (n_bands, rows_per_band), so a
 # deployment tunes recall/precision without touching query text
 # (candidate probability for a pair with Jaccard s:
@@ -145,10 +156,7 @@ toks AS (
   FROM reps
 ),
 sh AS (
-  SELECT doc_id,
-         array_distinct(transform(sequence(1, size(ts) - 2),
-             i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-                            element_at(ts, i + 2)))) AS shingles
+  SELECT doc_id, array_distinct({_SH3}) AS shingles
   FROM toks WHERE size(ts) >= 3
 ),
 hs AS (
@@ -156,11 +164,18 @@ hs AS (
          transform(shingles, s -> {SPARK_H64.format(x='s')} % {_MERS}) AS hashes
   FROM sh
 ),
+-- single-fold minhash: ONE pass over the hash array updating all
+-- {n_perms} running minima (lambda variables only). The r3-early
+-- formulation transform(sequence(0, P-1), j -> array_min(transform(
+-- hashes, ...))) captured `hashes`, re-evaluating the whole
+-- shingle→hash chain once per permutation after projection collapse.
 mh AS (
   SELECT doc_id,
-         transform(sequence(0, {n_perms - 1}),
-             j -> array_min(transform(hashes,
-                 h -> (h * (2*j + 1) + j * 1000003L) % {_MERS}))) AS mins
+         aggregate(hashes,
+           array_repeat(CAST({_MERS} AS BIGINT), {n_perms}),
+           (acc, h) -> zip_with(acc, sequence(0, {n_perms - 1}),
+               (m, j) -> least(m, (h * (2*j + 1) + j * 1000003L)
+                                  % {_MERS}))) AS mins
   FROM hs
 ),
 bands0 AS (
@@ -306,12 +321,18 @@ hs AS (
   SELECT doc_id, transform(ts, t -> {SPARK_H64.format(x='t')}) AS hashes
   FROM toks WHERE size(ts) > 0
 )
+-- single fold: one pass over hashes updating all 16 bit-counters, then
+-- a 16-element reduction — the r2 form captured `hashes` in the per-bit
+-- lambda, re-evaluating the token-hash chain 16× per document.
 SELECT doc_id,
        aggregate(
-         transform(sequence(0, 15),
-           b -> CASE WHEN aggregate(hashes, 0L,
-                          (acc, h) -> acc + (shiftright(h, b) & 1L) * 2L - 1L) > 0
-                     THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0L END),
+         zip_with(
+           aggregate(hashes, array_repeat(0L, 16),
+             (acc, h) -> zip_with(acc, sequence(0, 15),
+                 (c, b) -> c + (shiftright(h, b) & 1L) * 2L - 1L)),
+           sequence(0, 15),
+           (c, b) -> CASE WHEN c > 0 THEN CAST(shiftleft(1, b) AS BIGINT)
+                     ELSE 0L END),
          0L, (acc, x) -> acc + x) AS simhash
 FROM hs
 ORDER BY doc_id
@@ -348,7 +369,7 @@ register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
 # table is materialized once and joined back to both sides of each
 # candidate pair.
 
-_SHINGLES_SPARK = """
+_SHINGLES_SPARK = f"""
 WITH reps AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
@@ -357,10 +378,7 @@ WITH reps AS (
     FROM documents) numbered
   WHERE rn = 1
 )
-SELECT doc_id,
-       array_distinct(transform(sequence(1, size(ts) - 2),
-           i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-                          element_at(ts, i + 2)))) AS shingles
+SELECT doc_id, array_distinct({_SH3}) AS shingles
 FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
       FROM reps)
 WHERE size(ts) >= 3

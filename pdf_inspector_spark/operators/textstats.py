@@ -53,8 +53,12 @@ _LANGID_SPARK = f"""
 WITH toks AS (
   SELECT doc_id, lang,
          filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts,
+         -- lower(substring(text,...)): `text` is an ATTRIBUTE so the
+         -- per-element work is O(1); substring(lower(text),...) would
+         -- capture the computed lower(text) in the lambda and
+         -- re-lowercase the whole document per trigram (O(n²)).
          transform(sequence(1, greatest(length(text) - 2, 1)),
-                   i -> substring(lower(text), i, 3)) AS tg
+                   i -> lower(substring(text, i, 3))) AS tg
   FROM documents
 ),
 scored AS (
@@ -79,7 +83,7 @@ WITH toks AS (
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS ts,
          list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-                        i -> substr(lower(text), i::int, 3)) AS tg
+                        i -> lower(substr(text, i::int, 3))) AS tg
   FROM documents
 ),
 scored AS (
@@ -241,6 +245,15 @@ register("text_bpe_tokens", _sql(_BPE_SPARK), _BPE_DUCK,
 # strings; at 10^12 rows the benchmark gram table is the small side of a
 # broadcast join and candidate grams never shuffle.
 
+# 8-gram strings via a zip_with chain over 8 aligned slices — NOT
+# transform(sequence, i -> slice(ts, i, 8)): a lambda capturing the
+# computed token array re-evaluates its chain per gram after projection
+# collapse (O(n²) per doc). Each zip_with lambda sees only elements.
+_G8 = "slice(ts, 1, size(ts) - 7)"
+for _k in range(2, 9):
+    _G8 = (f"zip_with({_G8}, slice(ts, {_k}, size(ts) - 7), "
+           "(a, b) -> concat(a, ' ', b))")
+
 _DECON_SPARK = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -252,8 +265,8 @@ toks AS (
   FROM corpus
 ),
 grams AS (
-  SELECT doc_id, explode(array_distinct(transform(sequence(1, size(ts) - 7),
-             i -> {SPARK_H64.format(x="concat_ws(' ', slice(ts, i, 8))")}))) AS gh
+  SELECT doc_id, explode(array_distinct(transform({_G8},
+             g -> {SPARK_H64.format(x='g')}))) AS gh
   FROM toks WHERE size(ts) >= 8
 ),
 bench AS (
@@ -391,10 +404,15 @@ base AS (
               THEN (size(lines) - size(array_distinct(lines))) * 1000
                    DIV size(lines) ELSE 0 END AS BIGINT) AS dup_line_milli,
          CAST(size(ts) AS BIGINT) AS n_tokens,
+         -- zip_with over two slices, NOT transform(sequence, i ->
+         -- element_at(ts, i)): a lambda that captures the computed
+         -- array re-evaluates its whole chain per element after
+         -- projection collapse (O(n²) per doc — hung on a 120k-token
+         -- doc); zip_with lambdas touch only their element variables.
          CASE WHEN size(ts) >= 2
-              THEN transform(sequence(1, size(ts) - 1),
-                     i -> concat(element_at(ts, i), ' ',
-                                 element_at(ts, i + 1)))
+              THEN zip_with(slice(ts, 1, size(ts) - 1),
+                            slice(ts, 2, size(ts) - 1),
+                            (a, b) -> concat(a, ' ', b))
               ELSE array() END AS bigrams
   FROM feats
 ),

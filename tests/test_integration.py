@@ -159,6 +159,29 @@ class TestToMarkdownPlain:
     def test_non_code_text(self):  # :588-593
         assert "```" not in to_markdown("This is regular text about programming.")
 
+    def test_dash_list(self):  # :311-317
+        md = to_markdown("- One\n- Two\n- Three")
+        assert "- One" in md and "- Two" in md
+
+    def test_empty_lines(self):  # :357-363
+        md = to_markdown("Para one\n\nPara two")
+        assert "Para one" in md and "Para two" in md
+
+    def test_whitespace_only_lines(self):  # :365-371
+        md = to_markdown("Content\n   \nMore content")
+        assert "Content" in md and "More content" in md
+
+    def test_numbered_list_variations(self):  # :528-536
+        for item in ("1. First", "2) Second", "10. Tenth"):
+            assert to_markdown(item).strip(), item
+
+    def test_letter_list_items(self):  # :538-541
+        assert "a. Letter item" in to_markdown("a. Letter item")
+
+    def test_excessive_newlines_preserved_in_plain_text(self):  # :712-720
+        md = to_markdown("Para one\n\n\n\n\nPara two")
+        assert "Para one" in md and "Para two" in md
+
     def test_trailing_newline(self):  # :726-732
         md = to_markdown("Content")
         assert md.endswith("\n") and not md.endswith("\n\n")

@@ -58,6 +58,30 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     _LOADED_VIEWS[id(spark)] = sf_dir
 
 
+def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
+    """Persisted intermediate for subtrees that feed multiple joins
+    (LSH signature/shingle tables, IVF assignment rounds): without it
+    Catalyst inlines the whole producing subtree into EVERY consumer.
+
+    Default mode is ``localCheckpoint`` — right for local[N], but its
+    blocks live in executor memory and die with the executors. Set
+    ``PDF_INSPECTOR_PERSIST=parquet`` for the cluster-faithful path: the
+    intermediate is WRITTEN and re-read, so it survives executor loss,
+    is sized/co-located by the storage layer, and re-attaches to AQE as
+    a fresh scan (on a real deployment this is a parquet/Iceberg table,
+    not local disk). tests/test_plan_shape.py certifies both modes
+    produce identical results on the guarded LSH pipeline."""
+    import os
+    import tempfile
+    import uuid
+    if os.environ.get("PDF_INSPECTOR_PERSIST", "local") == "parquet":
+        path = os.path.join(tempfile.gettempdir(),
+                            f"pi_mat_{label}_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint()
+
+
 def all_operators() -> dict[str, Operator]:
     # Import side-effect registration on first use.
     from . import (conversation, dedup, extraction,  # noqa: F401

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from . import load_views, register
+from . import load_views, materialize, register
 from .textstats import DUCK_H64, SPARK_H64
 
 
@@ -256,14 +256,16 @@ ORDER BY doc_a, doc_b
 
 def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
              rows_per_band: int, cap: int = BUCKET_CAP):
-    """Materialize the guarded band-signature table once (localCheckpoint
-    — a persisted intermediate on a real cluster) before any self-join:
+    """Materialize the guarded band-signature table once (see
+    operators.materialize — localCheckpoint locally, write+re-read on a
+    cluster via PDF_INSPECTOR_PERSIST=parquet) before any self-join:
     without it Catalyst inlines the whole shingle→hash→minhash subtree
     into BOTH join sides (~8× recompute)."""
     load_views(spark, sf_dir)
     chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap)
-    return spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"
-                     ).localCheckpoint()
+    return materialize(
+        spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"),
+        "bands")
 
 
 def candidate_pairs(bands):
@@ -408,11 +410,11 @@ ORDER BY doc_a, doc_b
 
 def _jaccard_spark(spark, sf_dir: str):
     """Shingle table and guarded band table are each materialized once
-    (localCheckpoint — a persisted intermediate on a real cluster) so the
+    (operators.materialize — persisted intermediate) so the
     candidate self-join and the two verification joins reuse them instead
     of recomputing the shingle subtree per join side."""
     load_views(spark, sf_dir)
-    sh = spark.sql(_SHINGLES_SPARK).localCheckpoint()
+    sh = materialize(spark.sql(_SHINGLES_SPARK))
     sh.createOrReplaceTempView("jac_sh")
     bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
     bands.createOrReplaceTempView("jac_bands")
@@ -466,9 +468,10 @@ def label_propagation_components(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
     bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
-    edges = (candidate_pairs(bands)
-             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .localCheckpoint())
+    edges = materialize(
+        candidate_pairs(bands)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        "lp_edges")
     # undirected adjacency
     adj = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
@@ -488,7 +491,7 @@ def label_propagation_components(spark, sf_dir: str):
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels.localCheckpoint()
+        labels = materialize(new_labels, "lp_labels")
         if changed == 0:
             break
     return (labels.select(F.col("doc_id"),
@@ -583,7 +586,7 @@ def star_components(edges, nodes, max_rounds: int = 20):
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        edges = small_star(large_star(edges)).localCheckpoint()
+        edges = materialize(small_star(large_star(edges)), "star_edges")
         fp = marker(edges)
         if fp == prev:
             converged = True
@@ -607,12 +610,14 @@ def _cluster_star_spark(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
     bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
-    edges = (candidate_pairs(bands)
-             .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-             .localCheckpoint())
-    nodes = (edges.select(F.col("u").alias("doc_id"))
-             .union(edges.select(F.col("v").alias("doc_id")))
-             .distinct().localCheckpoint())
+    edges = materialize(
+        candidate_pairs(bands)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+        "star_in_edges")
+    nodes = materialize(
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id"))).distinct(),
+        "star_nodes")
     labels, _rounds = star_components(edges, nodes)
     return labels.orderBy("doc_id")
 

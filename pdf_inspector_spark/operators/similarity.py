@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from . import load_views, register
+from . import load_views, materialize, register
 from .textstats import DUCK_H64, SPARK_H64
 
 
@@ -227,12 +227,12 @@ ORDER BY vec_a, vec_b
 
 def _neardup_spark(spark: SparkSession, sf_dir: str):
     """Corpus and band-signature tables materialized once
-    (localCheckpoint) so the band self-join and the two verification
+    (operators.materialize) so the band self-join and the two verification
     joins do not recompute the projections per join side."""
     load_views(spark, sf_dir)
-    corpus = spark.sql(_NEARDUP_CORPUS_SPARK).localCheckpoint()
+    corpus = materialize(spark.sql(_NEARDUP_CORPUS_SPARK))
     corpus.createOrReplaceTempView("neardup_corpus")
-    sigs = spark.sql(_NEARDUP_SIGS_SPARK).localCheckpoint()
+    sigs = materialize(spark.sql(_NEARDUP_SIGS_SPARK))
     sigs.createOrReplaceTempView("neardup_sigs")
     return spark.sql(_NEARDUP_VERIFY_SPARK)
 
@@ -503,16 +503,17 @@ def ivf_train(spark: SparkSession, sf_dir: str,
     q = spark.sql(
         f"WITH assign0 AS ({_ASSIGN_SPARK}) "
         f"SELECT vec_id, embedding, centroid AS c0, {_QUANT_SPARK} AS qe "
-        "FROM assign0").localCheckpoint()
+        "FROM assign0")
+    q = materialize(q, "ivf_q")
     q.createOrReplaceTempView("ivf_q")
-    spark.sql("SELECT vec_id, pos, val FROM ivf_q "
-              "LATERAL VIEW posexplode(qe) AS pos, val") \
-        .localCheckpoint().createOrReplaceTempView("ivf_dims")
-    asg = (q.select("vec_id", F.col("c0").alias("c"))).localCheckpoint()
+    materialize(spark.sql("SELECT vec_id, pos, val FROM ivf_q "
+                          "LATERAL VIEW posexplode(qe) AS pos, val"),
+                "ivf_dims").createOrReplaceTempView("ivf_dims")
+    asg = materialize(q.select("vec_id", F.col("c0").alias("c")), "ivf_asg")
     moved: list[int] = []
     for _ in range(max_rounds):
         asg.createOrReplaceTempView("ivf_asg")
-        new_asg = spark.sql(_IVF_ROUND_SPARK).localCheckpoint()
+        new_asg = materialize(spark.sql(_IVF_ROUND_SPARK))
         n_moved = (new_asg.alias("n").join(asg.alias("o"), "vec_id")
                    .where(F.col("n.c") != F.col("o.c")).count())
         moved.append(n_moved)

@@ -125,6 +125,23 @@ def test_ivf_training_iterates_effectively(spark, sf_available):
     assert len(moved) >= 2 and moved[0] > 0 and moved[1] > 0, moved
 
 
+def test_persist_mode_parquet_equivalent(spark, sf_available, monkeypatch):
+    """Cluster-faithful persisted intermediates (carried deviation from
+    r1-r2): PDF_INSPECTOR_PERSIST=parquet swaps every materialize() from
+    localCheckpoint to write+re-read. Results must be identical on the
+    pipelines that lean on materialization (guarded LSH pairs and
+    star-contraction clusters)."""
+    from pdf_inspector_spark.operators.dedup import (_cluster_star_spark,
+                                                     _minhash_spark)
+    base_pairs = sorted(map(tuple, _minhash_spark(spark, sf_available).collect()))
+    base_labels = sorted(map(tuple, _cluster_star_spark(spark, sf_available).collect()))
+    monkeypatch.setenv("PDF_INSPECTOR_PERSIST", "parquet")
+    pq_pairs = sorted(map(tuple, _minhash_spark(spark, sf_available).collect()))
+    pq_labels = sorted(map(tuple, _cluster_star_spark(spark, sf_available).collect()))
+    assert pq_pairs == base_pairs and len(base_pairs) > 0
+    assert pq_labels == base_labels and len(base_labels) > 0
+
+
 def test_star_contraction_converges_in_log_rounds(spark):
     """Star contraction's value proposition: a 64-node PATH (diameter 63)
     converges in O(log n) rounds where min-label propagation would need

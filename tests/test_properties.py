@@ -123,3 +123,45 @@ def test_grouping_is_total_and_deterministic(items):
     # lines never mix pages
     for line in lines_a:
         assert all(i.page == line.page for i in line.items)
+
+
+def test_zip_chain_ngrams_match_naive(spark):
+    """The r3 zip_with-over-slices n-gram builders (bigrams in
+    text_repetition_stats, 3-shingles in the MinHash chain, 8-grams in
+    decontamination) must produce exactly the naive sliding-window
+    n-grams for arbitrary token streams, including the k-1 edge sizes
+    the slice arithmetic has to get right."""
+    import random
+    import re
+
+    from pdf_inspector_spark.operators.dedup import _SH3
+    from pdf_inspector_spark.operators.textstats import _G8
+
+    rng = random.Random(20260816)
+    vocab = ["a", "bb", "ccc", "Ä", "word", "x1", "ẞ", "t-t"]
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, 3, 7, 8, 9, rng.randrange(30)])
+        docs.append((i, "  ".join(rng.choice(vocab) for _ in range(n))))
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("ngram_docs")
+
+    bigram = ("CASE WHEN size(ts) >= 2 THEN "
+              "zip_with(slice(ts, 1, size(ts) - 1), "
+              "slice(ts, 2, size(ts) - 1), (a, b) -> concat(a, ' ', b)) "
+              "ELSE array() END")
+    rows = spark.sql(f"""
+        SELECT doc_id, {bigram} AS bi,
+               CASE WHEN size(ts) >= 3 THEN {_SH3} ELSE array() END AS sh3,
+               CASE WHEN size(ts) >= 8 THEN {_G8} ELSE array() END AS g8
+        FROM (SELECT doc_id,
+                     filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+              FROM ngram_docs)
+    """).collect()
+    got = {r["doc_id"]: r for r in rows}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        for col, k in (("bi", 2), ("sh3", 3), ("g8", 8)):
+            want = [" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)] if len(toks) >= k else []
+            assert list(got[doc_id][col]) == want, (doc_id, col, text)

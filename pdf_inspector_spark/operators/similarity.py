@@ -82,15 +82,37 @@ register("sim_cosine_topk", _sql(_TOPK_SPARK), _TOPK_DUCK,
 
 
 # -- LSH bucket variant (sign random projection) ----------------------------
-# Pseudo-random hyperplanes derived from md5(seed, dim) in [-0.5, 0.5];
-# bucket = sign bits. Neighbor candidates share a bucket. Deterministic in
-# both engines because the planes derive from the shared 60-bit hash.
+# Pseudo-random hyperplanes derived from md5(seed, dim) in [-0.5, 0.5].
+# The derivation is the shared 60-bit hash (% 1000 → per-mille integer).
+# Since r3 the SPARK side inlines the per-mille values as integer-array
+# LITERALS computed once here in Python (_h1000 reproduces the
+# md5-prefix derivation exactly — pinned by tests): the r2 SQL
+# recomputed an md5 per (plane, dim) per ROW — 2,304 digests/vector for
+# the 36-plane banded near-dup, pure waste at 10^12 rows. The literal
+# constant-folds at plan time, and the `x/1000.0 - 0.5` float chain is
+# unchanged, so every bucket/sign decision is identical.
+# The DUCKDB oracle keeps the md5-expression form: DuckDB re-materializes
+# a list literal PER LAMBDA ELEMENT (measured: the literal form spun for
+# 30+ CPU-minutes at sf0.01), and the oracle is correctness-only.
 
 
-def _plane_spark(p_expr: str) -> str:
-    return ("(CAST(" + SPARK_H64.format(
-        x=f"concat(cast({p_expr} AS STRING), '_', cast(i AS STRING))")
-        + " % 1000 AS DOUBLE) / 1000.0 - 0.5)")
+def _h1000(key: str) -> int:
+    import hashlib
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 1000
+
+
+def _milli_matrix(row_keys: list[str]) -> list[list[int]]:
+    return [[_h1000(f"{rk}_{i}") for i in range(1, 65)] for rk in row_keys]
+
+
+def _arr2_spark(m: list[list[int]]) -> str:
+    return ("array(" + ", ".join(
+        "array(" + ", ".join(map(str, row)) + ")" for row in m) + ")")
+
+
+def _plane_spark(mat_lit: str, p_expr: str) -> str:
+    return (f"(CAST(element_at(element_at({mat_lit}, CAST(({p_expr}) + 1 "
+            "AS INT)), CAST(i AS INT)) AS DOUBLE) / 1000.0 - 0.5)")
 
 
 def _plane_duck(p_expr: str) -> str:
@@ -99,7 +121,8 @@ def _plane_duck(p_expr: str) -> str:
         + " % 1000)::DOUBLE / 1000.0 - 0.5)")
 
 
-_PLANE_SPARK = _plane_spark("p")
+_PLANES8 = _milli_matrix([str(p) for p in range(8)])
+_PLANE_SPARK = _plane_spark(_arr2_spark(_PLANES8), "p")
 _PLANE_DUCK = _plane_duck("p")
 
 _LSH_SPARK = f"""
@@ -158,6 +181,7 @@ register("sim_lsh_buckets", _sql(_LSH_SPARK), _LSH_DUCK,
 
 NEARDUP_BANDS = 6
 NEARDUP_PLANES = 6  # per band
+_NPLANES = _milli_matrix([str(p) for p in range(NEARDUP_BANDS * NEARDUP_PLANES)])
 
 _NEARDUP_CORPUS_SPARK = """
   SELECT vec_id,
@@ -197,7 +221,7 @@ SELECT vec_id, band,
        aggregate(sequence(0, {NEARDUP_PLANES - 1}), 0L, (acc, j) -> acc +
          CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
                 (a, i) -> a + element_at(e, i)
-                    * {_plane_spark(f'band*{NEARDUP_PLANES}+j')}) > 0
+                    * {_plane_spark(_arr2_spark(_NPLANES), f'band*{NEARDUP_PLANES}+j')}) > 0
               THEN CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT) ELSE 0L END)
          AS bkey
 FROM neardup_corpus
@@ -279,8 +303,11 @@ register("sim_embedding_neardup", _neardup_spark, _NEARDUP_DUCK,
 # centroid's inverted list. At 10^12 vectors the probe join replaces the
 # cross join and partitions co-locate by centroid id.
 
-_CENT_SPARK = ("(CAST(" + SPARK_H64.format(x="concat('c', cast(c AS STRING), '_', cast(i AS STRING))")
-               + " % 1000 AS DOUBLE) / 1000.0 - 0.5)")
+# 8 deterministic pseudo-centroids as per-mille integer literals (same
+# md5 derivation keyed "c{c}_{i}", computed once — see the plane-literal
+# rationale above).
+_CENTS8 = _milli_matrix([f"c{c}" for c in range(8)])
+_CENT_SPARK = _plane_spark(_arr2_spark(_CENTS8), "c")
 _CENT_DUCK = ("((" + DUCK_H64.format(x="'c' || c::VARCHAR || '_' || i::VARCHAR")
               + " % 1000)::DOUBLE / 1000.0 - 0.5)")
 

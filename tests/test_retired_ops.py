@@ -75,3 +75,18 @@ def test_turn_gaps_standalone(spark, duck):
         GAPS_DUCK_SQL, turn_gaps_spark)
     n = _compare(turn_gaps_spark(spark, SF_DIR), duck, GAPS_DUCK_SQL)
     assert n > 0
+
+
+def test_plane_literal_derivation_matches_oracle_hash(duck):
+    """The Spark side inlines hyperplane/centroid per-mille values as
+    literals computed by _h1000; the DuckDB oracle still derives them
+    with md5 SQL. The two derivations must agree key-for-key or every
+    sign/bucket decision silently diverges."""
+    from pdf_inspector_spark.operators.similarity import _h1000
+    keys = [f"{p}_{i}" for p in (0, 7, 35) for i in (1, 32, 64)]
+    keys += [f"c{c}_{i}" for c in (0, 7) for i in (1, 64)]
+    for k in keys:
+        duck_val = duck.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % 1000", [k]
+        ).fetchone()[0]
+        assert _h1000(k) == duck_val, k

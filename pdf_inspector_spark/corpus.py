@@ -610,6 +610,42 @@ endcodespacerange
 endbfchar"""
 
 
+def _footnote_table() -> bytes:
+    """Table with an in-table CONTINUATION row (empty first column — its
+    cells merge into the previous row, src/tables.rs:946-995) and a
+    numbered FOOTNOTE row ("(1) ..." — extracted out of the grid,
+    src/tables.rs:1118-1150). Complements continuation_table, which
+    covers the cross-PAGE merge."""
+    header = [b"Item", b"Price", b"Qty", b"Notes"]
+    xs = [100.0, 200.0, 300.0, 400.0]
+    items = []
+    for x, t in zip(xs, header):
+        items.append((x, 500.0, 10.0, t))
+    rows = [[b"Widget", b"5.00", b"10", b"bulk (1)"],
+            [b"Gadget", b"12.50", b"4", b"fragile"]]
+    for r, row in enumerate(rows):
+        for x, t in zip(xs, row):
+            items.append((x, 480.0 - 20.0 * r, 10.0, t))
+    # continuation row: first column EMPTY, later columns continue the
+    # Gadget row's cells (≥3 X-clusters so the strict region scan keeps
+    # the row inside the table region)
+    items.append((200.0, 440.0, 10.0, b"0.50"))
+    items.append((300.0, 440.0, 10.0, b"2"))
+    items.append((400.0, 440.0, 10.0, b"keep dry"))
+    # final data row, then the footnote row (spread over 3 columns so it
+    # stays in-region; first cell "(1)" triggers footnote extraction)
+    for x, t in zip(xs, [b"Gizmo", b"3.25", b"20", b"std"]):
+        items.append((x, 420.0, 10.0, t))
+    items.append((100.0, 400.0, 10.0, b"(1)"))
+    items.append((200.0, 400.0, 10.0, b"net of"))
+    items.append((300.0, 400.0, 10.0, b"discounts"))
+    objs = _catalog_and_pages([3])
+    objs[3] = _page(3, 4, b"<< /Font << /F1 5 0 R >> >>")
+    objs[4] = _stream_obj(b"<< >>", _text_ops(items))
+    objs[5] = _HELV_FONT
+    return build_pdf(objs)
+
+
 def _rtl_text() -> bytes:
     """RTL (Hebrew) run via Type0+ToUnicode: the reference performs NO
     bidi reordering — CIDs decode in STREAM (logical) order and the
@@ -980,6 +1016,9 @@ def build_corpus() -> list[CorpusEntry]:
         CorpusEntry("rtl_text", _rtl_text(), "text_based",
                     "RTL (Hebrew) CID run — logical-order decode, no bidi "
                     "(src/extractor.rs:1854-1957)"),
+        CorpusEntry("footnote_table", _footnote_table(), "text_based",
+                    "in-table continuation row merge + numbered footnote "
+                    "extraction (src/tables.rs:946-995, :1118-1150)"),
         CorpusEntry("contents_array", _contents_array(), "text_based",
                     "/Contents array of streams (incl. Flate second stream)"),
         CorpusEntry("type3_font", _type3_font(), "text_based",

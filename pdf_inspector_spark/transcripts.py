@@ -147,12 +147,17 @@ def table_path(scale: str, data_dir: str = DATA_DIR) -> str:
 
 
 def corpus_fingerprint() -> str:
-    """Content hash of the corpus + payload pool: transcripts tables on
-    disk regenerate automatically when the corpus changes (the r2 flow
+    """Content hash of the payload pool (ids + the bytes of every corpus
+    entry the pool references): transcripts tables on disk regenerate
+    automatically when anything that feeds them changes (the r2 flow
     relied on manual `force=True`, which silently serves stale tables in
-    any environment that kept an old data/ dir)."""
+    any environment that kept an old data/ dir). Golden-only corpus
+    entries outside the pool don't affect the tables, so they don't
+    trigger regeneration."""
+    payloads = corpus_payloads()
     h = hashlib.sha256()
-    for k, v in sorted(corpus_payloads().items()):
+    for k in sorted(set(_POOL)):
+        v = payloads[k]
         h.update(k.encode())
         h.update(len(v).to_bytes(8, "big"))
         h.update(v)

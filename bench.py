@@ -39,6 +39,7 @@ ANALYTIC_QUERIES = [
     "rel_sessionize_events",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_prod",
     "dedup_simhash",
     "sim_cosine_topk",
     "text_bpe_tokens",

@@ -144,12 +144,14 @@ def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
     return f"""
 corpus AS ({corpus_sql}),
 reps AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY sha2(text, 256), length(text)
-                              ORDER BY doc_id) AS rn
-    FROM corpus) numbered
-  WHERE rn = 1
+  -- keeper election via map-side-combinable aggregate, NOT a
+  -- ROW_NUMBER window: the window shuffles EVERY row's payload to its
+  -- hash partition, while partial aggregation moves each distinct
+  -- payload across the exchange once per task (all texts in a group
+  -- are byte-identical under the sha256+length key, so FIRST is exact)
+  SELECT MIN(doc_id) AS doc_id, FIRST(text) AS text
+  FROM corpus
+  GROUP BY sha2(text, 256), length(text)
 ),
 toks AS (
   SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
@@ -201,12 +203,9 @@ def bands_chain_duck(corpus_sql: str, n_bands: int, rows_per_band: int,
     return f"""
 corpus AS ({corpus_sql}),
 reps AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY sha256(text), length(text)
-                              ORDER BY doc_id) AS rn
-    FROM corpus) numbered
-  WHERE rn = 1
+  SELECT MIN(doc_id) AS doc_id, FIRST(text) AS text
+  FROM corpus
+  GROUP BY sha256(text), length(text)
 ),
 toks AS (
   SELECT doc_id,
@@ -373,12 +372,9 @@ register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
 
 _SHINGLES_SPARK = f"""
 WITH reps AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY sha2(text, 256), length(text)
-                              ORDER BY doc_id) AS rn
-    FROM documents) numbered
-  WHERE rn = 1
+  SELECT MIN(doc_id) AS doc_id, FIRST(text) AS text
+  FROM documents
+  GROUP BY sha2(text, 256), length(text)
 )
 SELECT doc_id, array_distinct({_SH3}) AS shingles
 FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts

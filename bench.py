@@ -64,11 +64,29 @@ def _pin_cmd(cpus: int) -> list[str]:
     real N-executor cluster bounds each executor (JVM included) to its
     core bundle; the pinned subprocess models that. The hw baseline runs
     inside the same pinned worker, so both sides of every ratio see the
-    identical core budget."""
+    identical core budget.
+
+    The pin set is the first `cpus` entries of THIS process's allowed
+    affinity mask (not 0..N-1 unconditionally): on boxes with offline /
+    heterogeneous CPUs or a cgroup-restricted mask, raw 0..N-1 either
+    fails outright or lands ladder rungs on mismatched core classes
+    (ADVICE r3). Falls back to unpinned with a warning when the mask is
+    too small or taskset is missing."""
     import shutil
-    if shutil.which("taskset"):
-        return ["taskset", "-c", f"0-{cpus - 1}"]
-    return []
+    if not shutil.which("taskset"):
+        sys.stderr.write("bench: taskset not found — running unpinned\n")
+        return []
+    try:
+        allowed = sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        allowed = []
+    if len(allowed) < cpus:
+        sys.stderr.write(
+            f"bench: affinity mask has {len(allowed)} CPUs < {cpus} "
+            "requested — running unpinned\n")
+        return []
+    pin = ",".join(str(c) for c in allowed[:cpus])
+    return ["taskset", "-c", pin]
 
 
 def extraction_worker(cpus: int, scale: str, cached=True) -> dict:

@@ -72,14 +72,32 @@ def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
     not local disk). tests/test_plan_shape.py certifies both modes
     produce identical results on the guarded LSH pipeline."""
     import os
-    import tempfile
     import uuid
     if os.environ.get("PDF_INSPECTOR_PERSIST", "local") == "parquet":
-        path = os.path.join(tempfile.gettempdir(),
+        path = os.path.join(_materialize_root(),
                             f"pi_mat_{label}_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     return df.localCheckpoint()
+
+
+_MAT_ROOT: list[str] = []
+
+
+def _materialize_root() -> str:
+    """One per-process parent dir for parquet-mode intermediates, removed
+    at interpreter exit. Iterative callers (star contraction, IVF rounds,
+    label propagation) write one dir per round per run; without cleanup
+    repeated runs accumulate unbounded /tmp usage (ADVICE r3)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    if not _MAT_ROOT:
+        root = tempfile.mkdtemp(prefix="pi_mat_session_")
+        _MAT_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _MAT_ROOT[0]
 
 
 def all_operators() -> dict[str, Operator]:

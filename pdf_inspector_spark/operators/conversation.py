@@ -66,8 +66,8 @@ def _assemble(spark: SparkSession, sf_dir: str):
 def _register() -> None:
     # Pure registration (no filesystem writes) — runs on executor import.
     from .extraction import EXPECTED_PATH
-    from .transcript_stats import GAPS_DUCK_SQL
-    gaps_body = GAPS_DUCK_SQL.replace("ORDER BY conv_id", "")
+    from .transcript_stats import GAPS_DUCK_BODY
+    gaps_body = GAPS_DUCK_BODY
     register("conv_assemble_docs", _assemble, f"""
         WITH asm AS (
           SELECT conv_id,

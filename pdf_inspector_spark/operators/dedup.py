@@ -565,18 +565,20 @@ def star_components(edges, nodes, max_rounds: int = 20):
                 .distinct())
 
     def marker(e) -> tuple:
-        # Order-independent EXACT edge-set marker: count + xor + bounded
-        # sum of per-edge hashes. xor alone can spuriously collide on a
-        # changed edge set (pairs cancel); adding the count and a
-        # mod-prime sum makes an undetected same-marker change require a
-        # simultaneous xor AND sum AND count collision. The sum runs mod
-        # a prime so it cannot overflow under ANSI arithmetic.
+        # Order-independent EXACT edge-set marker: count + two xors of
+        # INDEPENDENT per-edge hashes (the seed literal changes the
+        # xxhash64 digest entirely). xor alone can spuriously collide on
+        # a changed edge set (pairs cancel); an undetected same-marker
+        # change now needs a simultaneous collision in both independent
+        # xors AND the count. xor never overflows, so the marker is safe
+        # under ANSI arithmetic at any edge count (the r3 version summed
+        # ~1e9-magnitude terms, which overflows BIGINT past ~9.2e9 edges
+        # — ADVICE r3).
         row = (e.agg(F.count("*").alias("n"),
                      F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-                     F.expr("sum(pmod(xxhash64(u, v), 1000000007))")
-                     .alias("s"))
+                     F.expr("bit_xor(xxhash64(u, v, 8191))").alias("h2"))
                .collect())[0]
-        return (row["n"], row["h"], row["s"])
+        return (row["n"], row["h"], row["h2"])
 
     prev = None
     converged = False

@@ -64,7 +64,8 @@ register("conv_role_stats", _role_stats, _ROLE_DUCK,
 # partition-parallel window). NOT separately registered since r3: the gap
 # columns ride on conv_assemble_docs (same per-conversation grain, one
 # gated query — keeps the registry inside the driver's 50-query window).
-# conversation.py joins GAPS_BODY_SPARK / GAPS_BODY_DUCK in.
+# conversation.py embeds GAPS_DUCK_BODY (the un-ordered body below) as a
+# subquery and runs GAPS_SPARK_SQL on the Spark side.
 
 _GAPS_SPARK = """
 WITH g AS (
@@ -90,7 +91,11 @@ def _turn_gaps(spark: SparkSession, sf_dir: str):
     return spark.sql(_GAPS_SPARK)
 
 
-_GAPS_DUCK = f"""
+# Body (no trailing ORDER BY) exported separately so callers embedding
+# it as a subquery (conversation.py) never have to rewrite SQL text —
+# the r3 call site did .replace("ORDER BY conv_id", ""), which silently
+# corrupts any future window spec containing that string (ADVICE r3).
+_GAPS_DUCK_BODY = f"""
 WITH g AS (
   SELECT conv_id, turn_idx,
          CAST(epoch(ts) AS BIGINT) AS es,
@@ -105,10 +110,12 @@ SELECT conv_id,
        CAST(MIN(es - prev_es) AS BIGINT) AS min_gap_sec
 FROM g
 GROUP BY conv_id
-ORDER BY conv_id
 """
+
+_GAPS_DUCK = _GAPS_DUCK_BODY + "ORDER BY conv_id\n"
 
 GAPS_SPARK_SQL = _GAPS_SPARK
 GAPS_DUCK_SQL = _GAPS_DUCK
+GAPS_DUCK_BODY = _GAPS_DUCK_BODY
 turn_gaps_spark = _turn_gaps
 ensure_transcripts_view = _view

@@ -146,14 +146,22 @@ def table_path(scale: str, data_dir: str = DATA_DIR) -> str:
     return os.path.join(data_dir, f"transcripts_{scale}.parquet")
 
 
+# Bump when the row-generation LOGIC changes (role/timestamp/doc
+# assignment functions, skew recipe) — the parts of iter_rows a content
+# hash cannot see. Folded into corpus_fingerprint so stale tables
+# regenerate (ADVICE r3: parameter changes previously served stale data).
+_GENERATOR_VERSION = 1
+
+
 def corpus_fingerprint() -> str:
-    """Content hash of the payload pool (ids + the bytes of every corpus
-    entry the pool references): transcripts tables on disk regenerate
-    automatically when anything that feeds them changes (the r2 flow
-    relied on manual `force=True`, which silently serves stale tables in
-    any environment that kept an old data/ dir). Golden-only corpus
-    entries outside the pool don't affect the tables, so they don't
-    trigger regeneration."""
+    """Content hash of everything that feeds the transcripts tables:
+    the payload pool (ids + bytes of every referenced corpus entry), the
+    SCALES shape parameters, and a generator-logic version constant.
+    Tables on disk regenerate automatically when any of it changes (the
+    r2 flow relied on manual `force=True`, which silently serves stale
+    tables in any environment that kept an old data/ dir). Golden-only
+    corpus entries outside the pool don't affect the tables, so they
+    don't trigger regeneration."""
     payloads = corpus_payloads()
     h = hashlib.sha256()
     for k in sorted(set(_POOL)):
@@ -162,6 +170,9 @@ def corpus_fingerprint() -> str:
         h.update(len(v).to_bytes(8, "big"))
         h.update(v)
     h.update("|".join(_POOL).encode())
+    h.update(f"gen_v{_GENERATOR_VERSION}".encode())
+    h.update(repr(sorted(SCALES.items())).encode())
+    h.update(f"rows_per_file={ROWS_PER_FILE}".encode())
     return h.hexdigest()
 
 

@@ -1,12 +1,23 @@
 """Multimodal media handling: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a typed
-metadata struct, processed by Arrow-batched ``mapInPandas`` stages. The
-Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
-real and tested; the *codec* steps (image decode, resampling, frame
-sampling) are stubbed behind ``MediaCodecUnavailable`` or a deterministic
-fake, because no imaging/audio libraries exist in this environment — the
-stubs mark exactly where PIL/ffmpeg drop in on a real cluster.
+metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
+
+Since r4 the payloads are REAL container files built with stdlib only
+(zlib/struct): valid PNG (IHDR+IDAT+IEND with CRCs), BMP
+(BITMAPINFOHEADER, 24bpp, bottom-up rows), binary PPM (P6), JPEG with a
+real JFIF/SOF0 marker structure (scan data is synthetic — encoding real
+entropy-coded JPEG needs a codec), canonical RIFF/WAVE PCM, and an
+ISO-BMFF (MP4) ftyp+moov/mvhd+mdat layout. ``parse_media_header`` does
+the real decode of width/height/bit-depth/duration from those headers —
+no imaging library required (reference analog: pdf-inspector sizes image
+XObjects from their dictionaries, src/detector.rs:328-399, and never
+decodes pixels either).
+
+The pixel-decode path (``decode_image``/``decode_and_resize``) is also
+real for PNG (zlib inflate + full filter-type-0..4 reconstruction), BMP
+and PPM; JPEG entropy decoding is the one remaining codec boundary and
+yields a NULL pixel row (the documented PIL/libjpeg drop-in point).
 
 The synthetic media table is deterministic (seeded from ids) so tests
 and oracles are stable:
@@ -18,7 +29,9 @@ and oracles are stable:
 from __future__ import annotations
 
 import hashlib
-import os
+import re
+import struct
+import zlib
 from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
@@ -27,6 +40,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+
+import os
 
 from .transcripts import DATA_DIR
 
@@ -43,16 +58,18 @@ MEDIA_SCHEMA = pa.schema([
     ("ts", pa.timestamp("us", tz="UTC")),
 ])
 
-_KINDS = (("image", "png"), ("image", "jpeg"), ("audio", "wav"),
-          ("video", "mp4"))
+_KINDS = (("image", "png"), ("image", "jpeg"), ("image", "bmp"),
+          ("image", "ppm"), ("audio", "wav"), ("video", "mp4"))
+
+WAV_RATE = 8000  # Hz, 8-bit mono — keeps synthetic payloads small
 
 
 class MediaCodecUnavailable(NotImplementedError):
-    """Raised where a real codec (PIL / soundfile / ffmpeg) would run."""
+    """Raised where a real codec (libjpeg / ffmpeg) would run."""
 
 
 def _payload_for(media_id: int, size: int) -> bytes:
-    """Deterministic pseudo-payload: repeated md5 stream keyed by id."""
+    """Deterministic pseudo-byte stream keyed by id (md5 counter mode)."""
     out = bytearray()
     counter = 0
     while len(out) < size:
@@ -61,28 +78,269 @@ def _payload_for(media_id: int, size: int) -> bytes:
     return bytes(out[:size])
 
 
+# -- real container-format builders (stdlib only) ---------------------------
+
+
+def make_png(width: int, height: int, media_id: int) -> bytes:
+    """Valid PNG: 8-bit RGB, filter-type-0 scanlines, correct CRCs."""
+    raw = _payload_for(media_id, width * height * 3)
+    scanlines = b"".join(
+        b"\x00" + raw[y * width * 3:(y + 1) * width * 3]
+        for y in range(height))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines, 6))
+            + chunk(b"IEND", b""))
+
+
+def make_bmp(width: int, height: int, media_id: int) -> bytes:
+    """Valid 24bpp BMP (BITMAPINFOHEADER): bottom-up, 4-byte-padded rows."""
+    row_size = (width * 3 + 3) & ~3
+    raw = _payload_for(media_id, width * height * 3)
+    rows = [raw[y * width * 3:(y + 1) * width * 3]
+            + b"\x00" * (row_size - width * 3) for y in range(height)]
+    pixels = b"".join(reversed(rows))  # bottom-up storage order
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    file_header = b"BM" + struct.pack("<IHHI", offset + len(pixels),
+                                      0, 0, offset)
+    return file_header + info + pixels
+
+
+def make_ppm(width: int, height: int, media_id: int) -> bytes:
+    """Binary PPM (P6, maxval 255). Pixel bytes are mapped into the
+    printable range 0x20-0x7E so the WHOLE file is valid UTF-8 — the
+    DuckDB oracle can then regexp the header out of decode(payload)
+    without a hex round trip (the Python parser handles arbitrary
+    binary PPM regardless)."""
+    raw = bytes(32 + b % 95
+                for b in _payload_for(media_id, width * height * 3))
+    return f"P6\n{width} {height}\n255\n".encode() + raw
+
+
+def make_jpeg(width: int, height: int, media_id: int) -> bytes:
+    """JPEG with a real marker structure: SOI + APP0(JFIF) + SOF0 carrying
+    the true dimensions + SOS + synthetic scan bytes (0xFF-free so the
+    marker walk terminates correctly) + EOI. Header-parseable by any
+    JPEG reader; entropy data is not a real scan (codec boundary)."""
+    soi = b"\xff\xd8"
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes((1, 1, 0)) + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x03"
+            + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    sos = (b"\xff\xda" + struct.pack(">H", 12)
+           + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    scan = bytes(b if b != 0xFF else 0xFE
+                 for b in _payload_for(media_id, 128 + media_id % 256))
+    return soi + app0 + sof0 + sos + scan + b"\xff\xd9"
+
+
+def make_wav(duration_ms: int, media_id: int, rate: int = WAV_RATE) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE, PCM 8-bit mono."""
+    n = rate * duration_ms // 1000
+    data = _payload_for(media_id, n)
+    return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+            + b"data" + struct.pack("<I", n) + data)
+
+
+def make_mp4(duration_ms: int, media_id: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov{mvhd v0 (timescale 1000, real
+    duration)} + mdat junk. Box sizes/offsets are spec-correct."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    mvhd_body = (b"\x00\x00\x00\x00"               # version 0 + flags
+                 + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+                 + struct.pack(">I", 0x00010000)   # rate 1.0
+                 + struct.pack(">H", 0x0100)       # volume 1.0
+                 + b"\x00" * 10                    # reserved
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                               0, 0, 0x40000000)   # identity matrix
+                 + b"\x00" * 24                    # pre_defined
+                 + struct.pack(">I", 2))           # next_track_ID
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    junk = _payload_for(media_id, 256 + (media_id * 37) % 1024)
+    mdat = struct.pack(">I", 8 + len(junk)) + b"mdat" + junk
+    return ftyp + moov + mdat
+
+
+# -- real header parsing (no imaging libs) ----------------------------------
+
+
+def parse_media_header(payload: bytes, fmt: str) -> dict:
+    """Decode (decoded_width, decoded_height, bit_depth,
+    decoded_duration_ms) from the container header. Real parsers: chunk
+    walk for PNG, header struct for BMP, ASCII header for PPM, marker
+    walk for JPEG, RIFF chunk walk for WAV, box walk for MP4. Unknown /
+    corrupt headers yield all-None (error-as-row, never a raise)."""
+    none = {"decoded_width": None, "decoded_height": None,
+            "bit_depth": None, "decoded_duration_ms": None}
+    try:
+        if fmt == "png":
+            return _parse_png_header(payload) or none
+        if fmt == "bmp":
+            return _parse_bmp_header(payload) or none
+        if fmt == "ppm":
+            return _parse_ppm_header(payload) or none
+        if fmt == "jpeg":
+            return _parse_jpeg_header(payload) or none
+        if fmt == "wav":
+            return _parse_wav_header(payload) or none
+        if fmt == "mp4":
+            return _parse_mp4_header(payload) or none
+    except Exception:  # noqa: BLE001 — corrupt header → None row
+        return none
+    return none
+
+
+def _dims(w, h, depth):
+    return {"decoded_width": int(w), "decoded_height": int(h),
+            "bit_depth": int(depth), "decoded_duration_ms": None}
+
+
+def _parse_png_header(p: bytes):
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    while pos + 8 <= len(p):  # chunk walk (IHDR must come first per spec)
+        length, tag = struct.unpack(">I4s", p[pos:pos + 8])
+        if tag == b"IHDR":
+            w, h, depth = struct.unpack(">IIB", p[pos + 8:pos + 17])
+            return _dims(w, h, depth)
+        pos += 12 + length
+    return None
+
+
+def _parse_bmp_header(p: bytes):
+    if p[:2] != b"BM":
+        return None
+    hdr_size, w, h = struct.unpack("<Iii", p[14:26])
+    if hdr_size < 40:
+        return None
+    bits = struct.unpack("<H", p[28:30])[0]
+    return _dims(w, abs(h), bits)  # negative height = top-down rows
+
+
+def _parse_ppm_header(p: bytes):
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", p)
+    if not m:
+        return None
+    maxval = int(m.group(3))
+    return _dims(int(m.group(1)), int(m.group(2)), maxval.bit_length())
+
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _parse_jpeg_header(p: bytes):
+    if p[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(p):  # marker-segment walk
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker in _JPEG_SOF:
+            precision, h, w = struct.unpack(">BHH", p[pos + 4:pos + 9])
+            return _dims(w, h, precision)
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return None
+        seg_len = struct.unpack(">H", p[pos + 2:pos + 4])[0]
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_wav_header(p: bytes):
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data_size = 12, None, None, None, None
+    while pos + 8 <= len(p):  # RIFF chunk walk
+        tag, size = struct.unpack("<4sI", p[pos:pos + 8])
+        if tag == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", p[pos + 8:pos + 24])
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if not rate or not channels or not bits or data_size is None:
+        return None
+    byte_rate = rate * channels * (bits // 8)
+    return {"decoded_width": None, "decoded_height": None,
+            "bit_depth": int(bits),
+            "decoded_duration_ms": data_size * 1000 // byte_rate}
+
+
+def _parse_mp4_header(p: bytes):
+    pos = 0
+    while pos + 8 <= len(p):  # top-level box walk
+        size, tag = struct.unpack(">I4s", p[pos:pos + 8])
+        if tag == b"moov":
+            inner = pos + 8
+            while inner + 8 <= pos + size:
+                isize, itag = struct.unpack(">I4s", p[inner:inner + 8])
+                if itag == b"mvhd":
+                    version = p[inner + 8]
+                    if version == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", p[inner + 28:inner + 40])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", p[inner + 20:inner + 28])
+                    return {"decoded_width": None, "decoded_height": None,
+                            "bit_depth": None,
+                            "decoded_duration_ms": dur * 1000 // ts}
+                inner += max(isize, 8)
+        pos += max(size, 8)
+    return None
+
+
+# -- synthetic media table ---------------------------------------------------
+
+
+def _media_row(i: int) -> dict:
+    h = int.from_bytes(hashlib.md5(f"m{i}".encode()).digest()[:8], "big")
+    kind, fmt = _KINDS[h % len(_KINDS)]
+    w = 4 + (h >> 8) % 16 if kind == "image" else 0
+    hgt = 4 + (h >> 18) % 16 if kind == "image" else 0
+    dur = 0
+    if fmt == "wav":
+        # quantized to whole samples at 8 kHz so metadata == decoded
+        dur = (WAV_RATE * (50 + (h >> 28) % 400) // 1000) * 1000 // WAV_RATE
+    elif fmt == "mp4":
+        dur = 1000 + (h >> 26) % 600_000
+    builder = {"png": make_png, "bmp": make_bmp, "ppm": make_ppm,
+               "jpeg": make_jpeg}
+    if kind == "image":
+        payload = builder[fmt](w, hgt, i)
+    elif fmt == "wav":
+        payload = make_wav(dur, i)
+    else:
+        payload = make_mp4(dur, i)
+    return {"media_id": i, "kind": kind, "fmt": fmt, "payload": payload,
+            "width": w, "height": hgt, "duration_ms": dur,
+            "ts": BASE_TS + timedelta(seconds=i * 37)}
+
+
 def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
                 force: bool = False) -> str:
-    path = os.path.join(data_dir, f"media_{n_rows}.parquet")
+    # v2: payloads are real container files (see module docstring)
+    path = os.path.join(data_dir, f"media_{n_rows}_v2.parquet")
     if os.path.exists(path) and not force:
         return path
     os.makedirs(data_dir, exist_ok=True)
     cols: dict[str, list] = {f.name: [] for f in MEDIA_SCHEMA}
     for i in range(n_rows):
-        h = int.from_bytes(hashlib.md5(f"m{i}".encode()).digest()[:8], "big")
-        kind, fmt = _KINDS[h % len(_KINDS)]
-        w = 64 + (h >> 8) % 1024 if kind != "audio" else 0
-        hgt = 64 + (h >> 18) % 1024 if kind != "audio" else 0
-        dur = (h >> 28) % 600_000 if kind != "image" else 0
-        size = 256 + (h >> 4) % 4096
-        cols["media_id"].append(i)
-        cols["kind"].append(kind)
-        cols["fmt"].append(fmt)
-        cols["payload"].append(_payload_for(i, size))
-        cols["width"].append(w)
-        cols["height"].append(hgt)
-        cols["duration_ms"].append(dur)
-        cols["ts"].append(BASE_TS + timedelta(seconds=i * 37))
+        row = _media_row(i)
+        for k in cols:
+            cols[k].append(row[k])
     pq.write_table(pa.Table.from_pydict(cols, schema=MEDIA_SCHEMA), path,
                    row_group_size=512, compression="zstd")
     return path
@@ -99,6 +357,10 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("byte_entropy_milli", T.LongType()),  # Shannon entropy ×1000
     T.StructField("aspect_milli", T.LongType()),      # width/height ×1000
     T.StructField("content_hash", T.LongType()),
+    T.StructField("decoded_width", T.LongType()),     # from the real header
+    T.StructField("decoded_height", T.LongType()),
+    T.StructField("bit_depth", T.LongType()),
+    T.StructField("decoded_duration_ms", T.LongType()),
 ])
 
 
@@ -122,6 +384,7 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # md5() only accepts VARCHAR, so this keeps the content hash
         # SQL-expressible in the cross-engine oracle.
         digest = hashlib.md5(payload.hex().upper().encode()).hexdigest()
+        hdr = parse_media_header(payload, r.fmt)
         rows.append({
             "media_id": r.media_id,
             "kind": r.kind,
@@ -131,13 +394,15 @@ def _features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "byte_entropy_milli": int(entropy * 1000),
             "aspect_milli": (r.width * 1000 // r.height) if r.height else 0,
             "content_hash": int(digest[:15], 16),
+            **hdr,
         })
     return pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
 
 def media_features(df: DataFrame) -> DataFrame:
-    """Byte-level feature extraction over binary payloads — fully real
-    (no codec needed): size, mean, entropy, aspect, content hash."""
+    """Byte-level + header feature extraction over binary payloads: size,
+    mean, entropy, aspect, content hash, and REAL header decode
+    (width/height/bit-depth/duration parsed from the container bytes)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _features_batch(pdf)
@@ -145,7 +410,9 @@ def media_features(df: DataFrame) -> DataFrame:
             .mapInPandas(gen, FEATURES_SCHEMA))
 
 
-# -- decode / resize / frame-sample (stubbed codec boundary) ----------------
+# -- pixel decode / resize ----------------------------------------------------
+
+DECODABLE_FORMATS = ("png", "bmp", "ppm")
 
 DECODED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -155,36 +422,139 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
+    """PNG filter reconstruction (types 0-4, 8-bit RGB)."""
+    stride = width * 3
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:    # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                c = prev[i - 3] if i >= 3 else 0
+                b = prev[i]
+                pa_, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode for 8-bit RGB: chunk walk → concatenated IDAT →
+    zlib inflate → filter reconstruction."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if (depth, ctype) != (8, 2):
+                raise MediaCodecUnavailable(
+                    f"PNG depth={depth} color={ctype} unsupported "
+                    "(8-bit RGB only)")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    return w, h, _png_unfilter(zlib.decompress(idat), w, h)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Real 24bpp BMP decode: strip row padding, flip bottom-up rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    _, w, h = struct.unpack("<Iii", payload[14:26])
+    bits = struct.unpack("<H", payload[28:30])[0]
+    if bits != 24:
+        raise MediaCodecUnavailable(f"BMP bpp={bits} unsupported (24 only)")
+    row_size = (w * 3 + 3) & ~3
+    top_down = h < 0
+    h = abs(h)
+    rows = [payload[offset + y * row_size:offset + y * row_size + w * 3]
+            for y in range(h)]
+    if not top_down:
+        rows.reverse()
+    return w, h, b"".join(rows)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PPM")
+    w, h = int(m.group(1)), int(m.group(2))
+    return w, h, payload[m.end():m.end() + w * h * 3]
+
+
+def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
+    """(width, height, rgb_bytes) — real decode for PNG/BMP/PPM; JPEG
+    entropy decoding is the codec boundary (libjpeg drop-in point)."""
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    raise MediaCodecUnavailable(
+        f"pixel decode for {fmt!r} requires an external codec")
+
+
+def resize_nearest(rgb: bytes, w: int, h: int, out_w: int,
+                   out_h: int) -> bytes:
+    """Nearest-neighbor resize on the raw RGB buffer (numpy indexing)."""
+    import numpy as np
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs].tobytes()
+
+
 def decode_and_resize(df: DataFrame, out_w: int = 224,
                       out_h: int = 224) -> DataFrame:
-    """Image decode + resize stage. The Spark plumbing (projection,
-    batching, output schema) is real; the codec call is the stub."""
+    """Image decode + nearest-neighbor resize stage. PNG/BMP/PPM decode
+    for real (stdlib zlib + numpy); JPEG rows yield a NULL pixel row —
+    error-as-row at the codec boundary, never a stage failure."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rows.append({
-                    "media_id": r.media_id,
-                    "pixels": _decode_image_stub(r.payload, r.fmt,
-                                                 out_w, out_h),
-                    "out_width": out_w,
-                    "out_height": out_h,
-                })
+                try:
+                    w, h, rgb = decode_image(r.payload, r.fmt)
+                    rows.append({
+                        "media_id": r.media_id,
+                        "pixels": resize_nearest(rgb, w, h, out_w, out_h),
+                        "out_width": out_w,
+                        "out_height": out_h,
+                    })
+                except MediaCodecUnavailable:
+                    rows.append({"media_id": r.media_id, "pixels": None,
+                                 "out_width": None, "out_height": None})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in DECODED_SCHEMA.fields])
     return (df.where(df.kind == "image")
             .select("media_id", "fmt", "payload")
             .mapInPandas(gen, DECODED_SCHEMA))
-
-
-def _decode_image_stub(payload: bytes, fmt: str, w: int, h: int) -> bytes:
-    """STUB — a real deployment calls PIL here:
-        Image.open(BytesIO(payload)).convert('RGB').resize((w, h)).tobytes()
-    The deterministic fake keeps the batch shape and size contract
-    (w*h*3 bytes) so downstream stages are testable without PIL."""
-    seed = hashlib.md5(payload[:64] + f":{fmt}:{w}x{h}".encode()).digest()
-    reps = (w * h * 3) // len(seed) + 1
-    return (seed * reps)[:w * h * 3]
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -9,9 +9,16 @@
   ``p*log2(p)`` terms sequentially in ascending byte-value order (DuckDB
   via ``list_reduce`` over an ORDER BY b list; IEEE negation is exact,
   so sum-then-negate == sequential subtract).
-- decode/resize and frame-sample stages live in ``media.py`` with the
-  codec boundary stubbed (no imaging libs in this environment); their
-  Spark plumbing is covered by tests/test_media.py.
+- Since r4 the payloads are REAL container files (media.py builds valid
+  PNG/BMP/PPM/WAV/MP4 and marker-correct JPEG with stdlib only) and the
+  feature stage decodes width/height/bit-depth/duration from the actual
+  header bytes (``parse_media_header`` — chunk/marker/box walks). The
+  oracle re-derives the same fields in SQL from hex(payload): PNG/BMP/
+  WAV/MP4/JPEG at their header offsets (fixed in the generated layout;
+  the Python side does the real walk), PPM via regexp over the ASCII
+  header. Pixel decode (decode_and_resize) is real for PNG/BMP/PPM too;
+  JPEG entropy decoding is the one stubbed codec boundary
+  (tests/test_media.py).
 """
 
 from __future__ import annotations
@@ -34,16 +41,69 @@ def _features_spark(spark: SparkSession, sf_dir: str):
     return media_features(df).orderBy("media_id")
 
 
+def _be(byte_off: int, n_bytes: int) -> str:
+    """Big-endian unsigned int from hex(payload) at a byte offset."""
+    return f"('0x' || substr(h, {byte_off * 2 + 1}, {n_bytes * 2}))::BIGINT"
+
+
+def _le(byte_off: int, n_bytes: int) -> str:
+    """Little-endian unsigned int: reverse the hex byte pairs."""
+    pairs = "||".join(f"substr(h, {(byte_off + i) * 2 + 1}, 2)"
+                      for i in reversed(range(n_bytes)))
+    return f"('0x' || {pairs})::BIGINT"
+
+
+# Header-decode mirrors (see module docstring). Offsets per format spec:
+#   PNG  IHDR: width BE@16, height BE@20, bit depth @24
+#   BMP  BITMAPINFOHEADER: width LE@18, height LE@22, bpp LE@28
+#   JPEG (generated layout): SOF0 after the 16-byte APP0 → precision @24,
+#        height BE@25, width BE@27
+#   WAV  canonical 44-byte header: byte_rate LE@28, bits LE@34,
+#        data size LE@40 → duration_ms = data*1000//byte_rate
+#   MP4  ftyp(16) + moov + mvhd v0: timescale BE@44, duration BE@48
+#   PPM  ASCII header (payload generated UTF-8-safe) via regexp
+_DEC_W = f"""CASE fmt
+    WHEN 'png'  THEN {_be(16, 4)}
+    WHEN 'bmp'  THEN {_le(18, 4)}
+    WHEN 'jpeg' THEN {_be(27, 2)}
+    WHEN 'ppm'  THEN regexp_extract(decode(payload),
+                     '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 1)::BIGINT
+    ELSE NULL END"""
+
+_DEC_H = f"""CASE fmt
+    WHEN 'png'  THEN {_be(20, 4)}
+    WHEN 'bmp'  THEN abs({_le(22, 4)}::INT)::BIGINT
+    WHEN 'jpeg' THEN {_be(25, 2)}
+    WHEN 'ppm'  THEN regexp_extract(decode(payload),
+                     '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 2)::BIGINT
+    ELSE NULL END"""
+
+_DEC_DEPTH = f"""CASE fmt
+    WHEN 'png'  THEN {_be(24, 1)}
+    WHEN 'bmp'  THEN {_le(28, 2)}
+    WHEN 'jpeg' THEN {_be(24, 1)}
+    WHEN 'wav'  THEN {_le(34, 2)}
+    WHEN 'ppm'  THEN CAST(floor(log2(regexp_extract(decode(payload),
+                     '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 3)::DOUBLE))
+                     AS BIGINT) + 1
+    ELSE NULL END"""
+
+_DEC_DUR = f"""CASE fmt
+    WHEN 'wav' THEN ({_le(40, 4)} * 1000) // {_le(28, 4)}
+    WHEN 'mp4' THEN ({_be(48, 4)} * 1000) // {_be(44, 4)}
+    ELSE NULL END"""
+
 # Oracle for the mapInPandas feature stage: byte histogram from the hex
 # encoding, mean via exact integer arithmetic, Shannon entropy via a
 # sequential list_reduce in ascending byte order (matches the Python
 # kernel's accumulation order bit-for-bit), content hash = md5 of the
-# uppercase hex payload (DuckDB v1.0 md5 takes VARCHAR only).
-_FEATURES_DUCK = """
+# uppercase hex payload (DuckDB v1.0 md5 takes VARCHAR only), and the
+# header-decode mirrors above.
+_FEATURES_DUCK = f"""
 WITH hx AS (
-  SELECT media_id, kind, fmt, width, height,
+  SELECT media_id, kind, fmt, width, height, payload,
          octet_length(payload) AS n_bytes, hex(payload) AS h
-  FROM {src}
+  FROM {{src}}
 ),
 bts AS (
   SELECT media_id, ('0x' || substr(h, (i*2+1)::int, 2))::INT AS b
@@ -68,7 +128,11 @@ SELECT x.media_id, x.kind, x.fmt,
        CAST(trunc(-e.neg_ent * 1000) AS BIGINT) AS byte_entropy_milli,
        CASE WHEN x.height > 0 THEN x.width::BIGINT * 1000 // x.height
             ELSE 0 END AS aspect_milli,
-       ('0x' || substr(md5(x.h), 1, 15))::BIGINT AS content_hash
+       ('0x' || substr(md5(x.h), 1, 15))::BIGINT AS content_hash,
+       {_DEC_W} AS decoded_width,
+       {_DEC_H} AS decoded_height,
+       {_DEC_DEPTH} AS bit_depth,
+       {_DEC_DUR} AS decoded_duration_ms
 FROM hx x JOIN ent e USING (media_id)
 ORDER BY x.media_id
 """
@@ -78,13 +142,14 @@ def _register() -> None:
     import os
 
     from ..transcripts import DATA_DIR
-    path = os.path.join(DATA_DIR, "media_2000.parquet")  # written on demand
+    path = os.path.join(DATA_DIR, "media_2000_v2.parquet")  # written on demand
     src = f"read_parquet('{path}')"
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),
              "mapInPandas media feature extraction (byte stats, entropy, "
-             "content hash, format metadata) vs hex-histogram DuckDB "
-             "oracle (bit-exact entropy)")
+             "content hash) + REAL header decode of width/height/bit-depth/"
+             "duration from valid PNG/BMP/PPM/JPEG/WAV/MP4 container bytes "
+             "vs hex-offset DuckDB oracle (bit-exact entropy)")
 
 
 _register()

@@ -1,14 +1,22 @@
-"""Multimodal plumbing tests: binary payloads through mapInPandas stages,
-stubbed codec boundary, deterministic synthetic media table."""
+"""Multimodal tests: real container-format generators, real header
+decode, real PNG/BMP/PPM pixel decode, and the mapInPandas plumbing.
+JPEG entropy decoding remains the one stubbed codec boundary."""
 
 import hashlib
 import math
+import struct
+import zlib
 
 import pytest
 
-from pdf_inspector_spark.media import (MediaCodecUnavailable, _payload_for,
-                                       decode_and_resize, media_features,
-                                       sample_frames, write_media)
+from pdf_inspector_spark.media import (DECODABLE_FORMATS,
+                                       MediaCodecUnavailable, _payload_for,
+                                       decode_and_resize, decode_image,
+                                       make_bmp, make_jpeg, make_mp4,
+                                       make_png, make_ppm, make_wav,
+                                       media_features, parse_media_header,
+                                       resize_nearest, sample_frames,
+                                       write_media)
 
 
 @pytest.fixture(scope="module")
@@ -21,6 +29,155 @@ def test_media_table_deterministic(tmp_path):
     p2 = write_media(50, data_dir=str(tmp_path / "b"))
     import pyarrow.parquet as pq
     assert pq.read_table(p1).equals(pq.read_table(p2))
+
+
+# -- golden per-format header decode -----------------------------------------
+
+def test_png_header_golden():
+    # hand-built 2x1 RGB PNG: signature + IHDR(2,1,depth 8,color 2)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    hdr = parse_media_header(b"\x89PNG\r\n\x1a\n" + chunk, "png")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (2, 1, 8)
+
+
+def test_bmp_header_golden_top_down():
+    # negative height = top-down row order; parser reports abs(height)
+    p = bytearray(make_bmp(3, 2, 0))
+    p[22:26] = struct.pack("<i", -2)
+    hdr = parse_media_header(bytes(p), "bmp")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (3, 2, 24)
+
+
+def test_ppm_header_golden_whitespace_variants():
+    hdr = parse_media_header(b"P6\n10 20\n255\n" + b"\x00" * 600, "ppm")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (10, 20, 8)
+    hdr = parse_media_header(b"P6 7 8 15 " + b"\x00" * 200, "ppm")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (7, 8, 4)  # maxval 15 → 4 bits
+
+
+def test_jpeg_header_marker_walk_skips_segments():
+    # insert an extra COM segment before SOF0: a fixed-offset reader would
+    # misparse; the marker walk must skip it
+    p = make_jpeg(11, 13, 4)
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    p2 = p[:2] + com + p[2:]
+    hdr = parse_media_header(p2, "jpeg")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (11, 13, 8)
+
+
+def test_wav_header_golden():
+    hdr = parse_media_header(make_wav(250, 5), "wav")
+    assert hdr["decoded_duration_ms"] == 250
+    assert hdr["bit_depth"] == 8
+
+
+def test_mp4_header_golden_v0_and_v1():
+    hdr = parse_media_header(make_mp4(123456, 6), "mp4")
+    assert hdr["decoded_duration_ms"] == 123456
+    # v1 mvhd: 64-bit duration, different field offsets
+    body = (b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7))
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    hdr = parse_media_header(moov, "mp4")
+    assert hdr["decoded_duration_ms"] == 7000
+
+
+def test_corrupt_headers_yield_none_not_raise():
+    for fmt in ("png", "bmp", "ppm", "jpeg", "wav", "mp4"):
+        hdr = parse_media_header(b"garbage-bytes", fmt)
+        assert hdr == {"decoded_width": None, "decoded_height": None,
+                       "bit_depth": None, "decoded_duration_ms": None}
+
+
+# -- golden pixel decode ------------------------------------------------------
+
+def test_png_decode_all_filter_types():
+    """Scanlines written with filters 1/2/3/4 must reconstruct the same
+    pixels as the filter-0 reference encoder."""
+    w, h = 4, 4
+    raw = _payload_for(99, w * h * 3)
+    rows = [raw[y * w * 3:(y + 1) * w * 3] for y in range(h)]
+    stride = w * 3
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                out.append((line[i] - a) & 0xFF)
+            elif ftype == 2:
+                out.append((line[i] - b) & 0xFF)
+            elif ftype == 3:
+                out.append((line[i] - (a + b) // 2) & 0xFF)
+            else:  # Paeth
+                pa_, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+        return bytes(out)
+
+    prev = bytes(stride)
+    scanlines = b""
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        scanlines += bytes([ftype]) + filt(ftype, rows[y], prev)
+        prev = rows[y]
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scanlines))
+           + chunk(b"IEND", b""))
+    dw, dh, rgb = decode_image(png, "png")
+    assert (dw, dh) == (w, h)
+    assert rgb == raw
+
+
+def test_bmp_decode_flips_bottom_up_rows():
+    w, h = 3, 2
+    dw, dh, rgb = decode_image(make_bmp(w, h, 7), "bmp")
+    assert (dw, dh) == (w, h)
+    assert rgb == _payload_for(7, w * h * 3)  # generator order restored
+
+
+def test_resize_nearest_identity_and_downscale():
+    rgb = bytes(range(2 * 2 * 3))
+    assert resize_nearest(rgb, 2, 2, 2, 2) == rgb
+    small = resize_nearest(rgb, 2, 2, 1, 1)
+    assert small == rgb[:3]  # top-left pixel
+
+
+def test_jpeg_pixel_decode_is_the_codec_boundary():
+    with pytest.raises(MediaCodecUnavailable):
+        decode_image(make_jpeg(4, 4, 1), "jpeg")
+
+
+# -- table-level invariants ---------------------------------------------------
+
+def test_decoded_dims_match_metadata(spark, media_df):
+    """The generated table's width/height/duration metadata must agree
+    with what the real header parsers decode from the payload bytes."""
+    feats = media_features(media_df).collect()
+    meta = {r["media_id"]: r for r in media_df.collect()}
+    assert len(feats) == len(meta) > 0
+    for f in feats:
+        m = meta[f["media_id"]]
+        if m["kind"] == "image":
+            assert f["decoded_width"] == m["width"]
+            assert f["decoded_height"] == m["height"]
+            assert f["bit_depth"] in (8, 24)
+        elif m["fmt"] in ("wav", "mp4"):
+            assert f["decoded_duration_ms"] == m["duration_ms"]
 
 
 def test_media_features_match_reference_computation(spark, media_df):
@@ -43,20 +200,28 @@ def test_media_features_match_reference_computation(spark, media_df):
 
 
 def test_decode_resize_shape_contract(spark, media_df):
-    """The stubbed decoder must honor the w*h*3 pixel-buffer contract so
-    downstream stages (e.g. embedding models) see correct batch shapes."""
+    """Decodable formats must honor the w*h*3 pixel-buffer contract so
+    downstream stages (e.g. embedding models) see correct batch shapes;
+    JPEG rows surface as NULL pixel rows (codec boundary, error-as-row)."""
     out = decode_and_resize(media_df, out_w=32, out_h=16).collect()
     n_images = media_df.where(media_df.kind == "image").count()
     assert len(out) == n_images > 0
+    fmt_by_id = {r["media_id"]: r["fmt"]
+                 for r in media_df.select("media_id", "fmt").collect()}
+    n_real = 0
     for r in out:
-        assert len(r["pixels"]) == 32 * 16 * 3
-        assert (r["out_width"], r["out_height"]) == (32, 16)
+        if fmt_by_id[r["media_id"]] in DECODABLE_FORMATS:
+            assert len(r["pixels"]) == 32 * 16 * 3
+            assert (r["out_width"], r["out_height"]) == (32, 16)
+            n_real += 1
+        else:
+            assert r["pixels"] is None
+    assert n_real > 0
 
 
 def test_frame_sampling_codec_stub_raises(spark, media_df):
     """The video path surfaces MediaCodecUnavailable at executor time —
     the documented drop-in point for ffmpeg."""
-    from py4j.protocol import Py4JJavaError
     with pytest.raises(Exception) as exc_info:
         sample_frames(media_df).collect()
     assert "MediaCodecUnavailable" in str(exc_info.value) \

@@ -251,3 +251,51 @@ def test_star_contraction_matches_propagation_on_random_graph(spark):
     labels, _ = star_components(edges, nodes)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == truth
+
+
+def test_assemble_docs_blocked_equals_naive(spark):
+    """Blocked assembly (tiny blocks + binding budget) must agree with
+    the naive single-pass join + char-budget truncation."""
+    from pdf_inspector_spark.operators.conversation import assemble_docs
+    rows = ([("c1", i, f"turn-{i}" if i % 3 else None) for i in range(50)]
+            + [("c2", i, "") for i in range(5)]
+            + [("c3", 0, "only")])
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text_out string")
+    out = {r["conv_id"]: r
+           for r in assemble_docs(df, block_turns=8,
+                                  doc_char_budget=60).collect()}
+    for conv, texts, n_turns in (
+            ("c1", [f"turn-{i}" for i in range(50) if i % 3], 50),
+            ("c2", [], 5), ("c3", ["only"], 1)):
+        full = "\n\n".join(texts)
+        r = out[conv]
+        assert r["n_turns"] == n_turns
+        assert r["n_extracted"] == len(texts)
+        assert r["doc_chars"] == len(full)       # FULL length, not truncated
+        assert r["doc"] == full[:60]             # budget-cut document
+
+
+def test_assemble_docs_mega_conversation_bounded(spark):
+    """VERDICT r3 straggler hazard: a single mega conversation must not
+    put the whole document through one Python task. With blocked
+    assembly every grouped-map task sees <= BLOCK_TURNS turns, the
+    budget bounds the assembled row, and the job stays fast."""
+    import time
+
+    from pdf_inspector_spark.operators.conversation import (DOC_CHAR_BUDGET,
+                                                            assemble_docs)
+    n = 60_000
+    df = spark.range(n).selectExpr("'mega' AS conv_id",
+                                   "CAST(id AS INT) AS turn_idx",
+                                   "repeat('x', 80) AS text_out")
+    t0 = time.monotonic()
+    row = assemble_docs(df).collect()[0]
+    elapsed = time.monotonic() - t0
+    full_chars = n * 80 + 2 * (n - 1)
+    assert full_chars > DOC_CHAR_BUDGET          # the budget binds
+    assert row["n_turns"] == n
+    assert row["doc_chars"] == full_chars        # stat reports FULL length
+    assert len(row["doc"]) == DOC_CHAR_BUDGET    # document cut at budget
+    assert row["doc"] == "x" * 80 + "\n\n" + row["doc"][82:]
+    assert elapsed < 90, f"mega-conversation assembly took {elapsed:.1f}s"

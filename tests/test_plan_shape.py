@@ -299,3 +299,15 @@ def test_assemble_docs_mega_conversation_bounded(spark):
     assert len(row["doc"]) == DOC_CHAR_BUDGET    # document cut at budget
     assert row["doc"] == "x" * 80 + "\n\n" + row["doc"][82:]
     assert elapsed < 90, f"mega-conversation assembly took {elapsed:.1f}s"
+
+
+def test_multiprobe_recall_strictly_above_single_probe(spark, sf_available):
+    """The gated multiprobe query must SHOW the recall win: corpus-wide
+    recall@3 at nprobe=2 strictly above nprobe=1 (VERDICT r3 item 4)."""
+    from pdf_inspector_spark.operators.similarity import (_MULTIPROBE_SPARK,
+                                                          _sql)
+    rows = _sql(_MULTIPROBE_SPARK)(spark, sf_available).collect()
+    hits1 = sum(r["hits_nprobe1"] for r in rows)
+    hits2 = sum(r["hits_nprobe2"] for r in rows)
+    assert hits2 > hits1, (hits1, hits2)
+    assert all(r["hits_nprobe2"] >= r["hits_nprobe1"] for r in rows)

@@ -90,3 +90,13 @@ def test_plane_literal_derivation_matches_oracle_hash(duck):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % 1000", [k]
         ).fetchone()[0]
         assert _h1000(k) == duck_val, k
+
+
+def test_ivf_single_probe_topk(spark, duck):
+    """Retired in r4: subsumed by sim_ivf_multiprobe (whose first probe
+    IS this query's probe set). The standalone top-3 formulation stays
+    pinned against its oracle here."""
+    from pdf_inspector_spark.operators.similarity import (_IVF_DUCK,
+                                                          _IVF_SPARK, _sql)
+    n = _compare(_sql(_IVF_SPARK)(spark, SF_DIR), duck, _IVF_DUCK)
+    assert n > 0

@@ -624,3 +624,93 @@ register("dedup_cluster_star", _cluster_star_spark, _cluster_duck_sql(),
          "duplicate clusters via alternating large-star/small-star "
          "contraction — O(log n) rounds vs O(diameter) for label "
          "propagation; recursive-CTE oracle; guarded LSH edges")
+
+
+# -- the composed dedup pipeline (VERDICT r4 item 7) ---------------------------
+# What a production pipeline actually ships, end to end in ONE gated
+# query: guarded LSH candidates → exact-Jaccard VERIFIED edges
+# (jaccard_milli ≥ VERIFY_MILLI — candidates alone over-merge: banding is
+# probabilistic, verification is exact) → connected components by star
+# contraction → keeper election (the component minimum; star roots ARE
+# the component minima, so is_keeper = (doc_id = cluster_id)). Every
+# stage reuses the guarded builders above; nothing here is new machinery,
+# only the composition.
+
+VERIFY_MILLI = 800  # exact-Jaccard acceptance threshold (0.8)
+
+
+def _verified_clusters_spark(spark, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    load_views(spark, sf_dir)
+    sh = materialize(spark.sql(_SHINGLES_SPARK))
+    sh.createOrReplaceTempView("jac_sh")
+    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
+    bands.createOrReplaceTempView("jac_bands")
+    verified = spark.sql(_VERIFY_SPARK)
+    edges = materialize(
+        verified.where(F.col("jaccard_milli") >= VERIFY_MILLI)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+        "vc_edges")
+    nodes = materialize(
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id"))).distinct(),
+        "vc_nodes")
+    labels, _rounds = star_components(edges, nodes)
+    counts = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"))
+    return (labels.join(counts, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_keeper"))
+            .orderBy("doc_id"))
+
+
+_VERIFIED_CLUSTERS_DUCK = f"""
+WITH RECURSIVE
+{bands_chain_duck(_DOCS, N_BANDS, ROWS_PER_BAND)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS n_inter,
+         len(x.shingles) + len(y.shingles) AS sz
+  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM scored
+  WHERE n_inter * 10 >= sz - n_inter
+    AND (n_inter * 1000) // (sz - n_inter) >= {VERIFY_MILLI}
+),
+adj AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM adj),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT a.dst, reach.r FROM reach JOIN adj a ON a.src = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+counts AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, c.n_members,
+       l.doc_id = l.cluster_id AS is_keeper
+FROM labels l JOIN counts c USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+register("dedup_verified_clusters", _verified_clusters_spark,
+         _VERIFIED_CLUSTERS_DUCK,
+         f"the composed dedup pipeline: guarded LSH candidates → exact-"
+         f"Jaccard verified edges (≥ {VERIFY_MILLI}‰) → star-contraction "
+         "components → keeper election (component minimum)")

@@ -88,8 +88,10 @@ def _materialize_oracle_inputs() -> None:
     """The oracle SQL reads fixture/media parquet via absolute paths —
     make sure they exist before DuckDB runs."""
     from pdf_inspector_spark.media import write_media
-    from pdf_inspector_spark.operators.extraction import ensure_fixture_tables
+    from pdf_inspector_spark.operators.extraction import (
+        EXPECTED_PATH_TBENCH, _write_expected, ensure_fixture_tables)
     ensure_fixture_tables()
+    _write_expected("t-bench", EXPECTED_PATH_TBENCH)
     write_media()
 
 

@@ -27,6 +27,7 @@ SCALE = "t-small"
 # continuation_table, rtl_text) in the payload pool
 EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v7.parquet")
 EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v7.parquet")
+EXPECTED_PATH_TBENCH = os.path.join(DATA_DIR, "expected_t-bench_v7.parquet")
 
 _EXPECTED_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -151,37 +152,43 @@ def _quality_extracted(spark: SparkSession, sf_dir: str):
             .orderBy("conv_id", "turn_idx"))
 
 
-def _extract_digest_tmed(spark: SparkSession, sf_dir: str):
-    """Per-turn byte equality at t-med (9,935 turns — 100x t-small) under
-    the hard hash gate, compacted to one md5 digest per conversation:
-    digest = md5 over the conversation's turn texts in turn order,
-    unit-separator-joined (NULL text -> empty). Any single-character
-    drift in any turn flips its conversation's digest."""
-    from ..pipeline import run_pipeline_dedup
-    from ..transcripts import write_transcripts
-    ensure_fixture_tables()
-    tpath = write_transcripts("t-med")
-    df = spark.read.parquet(tpath)
-    # the dedup-aware plan (distinct payloads only cross into Python) is
-    # the production extraction plan; gating it here checks ITS output
-    # byte-for-byte at t-med, not just the per-row plan's
-    out = run_pipeline_dedup(df, with_markdown=True)
-    out.createOrReplaceTempView("tmed_out")
-    return spark.sql("""
-        SELECT conv_id,
-               COUNT(*) AS n_turns,
-               md5(array_join(transform(
-                     array_sort(collect_list(struct(turn_idx,
-                                                    coalesce(text_out, '')))),
-                     s -> s.col2), chr(31))) AS turns_digest,
-               md5(array_join(transform(
-                     array_sort(collect_list(struct(turn_idx,
-                                                    coalesce(markdown, '')))),
-                     s -> s.col2), chr(31))) AS markdown_digest
-        FROM tmed_out
-        GROUP BY conv_id
-        ORDER BY conv_id
-    """)
+def _extract_digest(scale: str, expected_path: str):
+    """Per-turn byte equality at `scale` under the hard hash gate,
+    compacted to one md5 digest per conversation: digest = md5 over the
+    conversation's turn texts in turn order, unit-separator-joined (NULL
+    text -> empty). Any single-character drift in any turn flips its
+    conversation's digest. r3 gated t-med (9,935 turns); r4 moved the
+    registry entry to t-bench (205,770 turns — the scale the bench
+    headlines measure), with t-med equality still pinned per-turn in
+    tests/test_tmed_sweep.py."""
+    def run(spark: SparkSession, sf_dir: str):
+        from ..pipeline import run_pipeline_dedup
+        from ..transcripts import write_transcripts
+        tpath = write_transcripts(scale)
+        _write_expected(scale, expected_path)  # the oracle's input
+        df = spark.read.parquet(tpath)
+        # the dedup-aware plan (distinct payloads only cross into Python)
+        # is the production extraction plan; gating it here checks ITS
+        # output byte-for-byte at this scale, not just the per-row plan's
+        out = run_pipeline_dedup(df, with_markdown=True)
+        view = f"digest_out_{scale.replace('-', '_')}"
+        out.createOrReplaceTempView(view)
+        return spark.sql(f"""
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   md5(array_join(transform(
+                         array_sort(collect_list(struct(turn_idx,
+                                                        coalesce(text_out, '')))),
+                         s -> s.col2), chr(31))) AS turns_digest,
+                   md5(array_join(transform(
+                         array_sort(collect_list(struct(turn_idx,
+                                                        coalesce(markdown, '')))),
+                         s -> s.col2), chr(31))) AS markdown_digest
+            FROM {view}
+            GROUP BY conv_id
+            ORDER BY conv_id
+        """)
+    return run
 
 
 def _routing_selectivity(spark: SparkSession, sf_dir: str):
@@ -271,19 +278,20 @@ def _register_all() -> None:
     # yields BIGINT: cast every SUM to BIGINT so the driver hash gate agrees.
     # n_ocr_flagged counts the pipeline's own ocr_recommended flag (persisted
     # in the v6 fixture), not a pdf_type re-derivation.
-    register("pi_extract_digest_tmed", _extract_digest_tmed, f"""
+    register("pi_extract_digest_tbench",
+             _extract_digest("t-bench", EXPECTED_PATH_TBENCH), f"""
         SELECT conv_id,
                COUNT(*) AS n_turns,
                md5(string_agg(COALESCE(text, ''), chr(31)
                               ORDER BY turn_idx)) AS turns_digest,
                md5(string_agg(COALESCE(markdown, ''), chr(31)
                               ORDER BY turn_idx)) AS markdown_digest
-        FROM read_parquet('{EXPECTED_PATH_TMED.replace("'", "''")}')
+        FROM read_parquet('{EXPECTED_PATH_TBENCH.replace("'", "''")}')
         GROUP BY conv_id
         ORDER BY conv_id
-    """, "per-turn text AND markdown byte equality at t-med (9,935 "
-         "turns) compacted to per-conversation digests — 100x-scale "
-         "extraction + structuring contract")
+    """, "per-turn text AND markdown byte equality at t-bench (205,770 "
+         "turns — the scale the bench headlines measure) compacted to "
+         "per-conversation digests; runs the dedup-aware production plan")
 
     register("pi_routing_selectivity", _routing_selectivity, f"""
         SELECT COUNT(*) AS n_turns,

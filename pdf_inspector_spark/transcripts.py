@@ -221,6 +221,66 @@ def write_transcripts(scale: str, data_dir: str = DATA_DIR,
     return path
 
 
+def conv_bucket(conv_id: str, buckets: int = 16) -> int:
+    """Derived partition key: a stable hash of conv_id. Conversation-keyed
+    queries re-derive the bucket and touch exactly ONE partition — the
+    plain-parquet analog of Iceberg's bucket partition transform +
+    manifest pruning (SURVEY.md §4 scan row)."""
+    return _h(conv_id, -9) % buckets
+
+
+def write_transcripts_partitioned(scale: str, buckets: int = 16,
+                                  data_dir: str = DATA_DIR,
+                                  force: bool = False) -> str:
+    """Write (or reuse) the transcripts table hive-partitioned by the
+    derived conv_bucket key (``conv_bucket=K/part-*.parquet``). All turns
+    of a conversation land in one bucket, so a conversation-keyed read
+    prunes to a single partition directory at PLANNING time —
+    tests/test_scan_pruning.py asserts the scan's numFiles/numPartitions
+    metrics, not just the PartitionFilters plan string."""
+    import shutil
+    path = os.path.join(data_dir,
+                        f"transcripts_{scale}_bucketed{buckets}.parquet")
+    done_marker = os.path.join(path, "_SUCCESS")
+    fp = corpus_fingerprint() + f"|buckets={buckets}"
+    if os.path.exists(done_marker) and not force:
+        with open(done_marker) as f:
+            if f.read().strip() == fp:
+                return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    parts: dict[int, int] = {}
+    bufs: dict[int, dict[str, list]] = {}
+
+    def flush(b: int) -> None:
+        cols = bufs[b]
+        if not cols["conv_id"]:
+            return
+        sub = os.path.join(path, f"conv_bucket={b}")
+        os.makedirs(sub, exist_ok=True)
+        table = pa.Table.from_pydict(cols, schema=SCHEMA)
+        pq.write_table(table,
+                       os.path.join(sub, f"part-{parts.get(b, 0):05d}.parquet"),
+                       row_group_size=4096, compression="zstd")
+        parts[b] = parts.get(b, 0) + 1
+        bufs[b] = {f.name: [] for f in SCHEMA}
+
+    for row in iter_rows(scale):
+        b = conv_bucket(row["conv_id"], buckets)
+        if b not in bufs:
+            bufs[b] = {f.name: [] for f in SCHEMA}
+        for k in bufs[b]:
+            bufs[b][k].append(row[k])
+        if len(bufs[b]["conv_id"]) >= ROWS_PER_FILE:
+            flush(b)
+    for b in list(bufs):
+        flush(b)
+    os.makedirs(path, exist_ok=True)
+    with open(done_marker, "w") as f:
+        f.write(fp + "\n")
+    return path
+
+
 def expected_turns(scale: str) -> list[dict]:
     """Golden per-turn outputs: what the pipeline must produce for every
     (conv_id, turn_idx), derived from the corpus fixtures (the kernel

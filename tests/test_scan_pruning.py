@@ -15,6 +15,34 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _scan_metrics(df) -> dict:
+    """Execute the frame and return the parquet scan's SQL metrics
+    (numFiles, numPartitions, numOutputRows, …) — the physical proof
+    that partition pruning happened, not just that the plan printed a
+    PartitionFilters clause."""
+    df.collect()
+
+    found: dict = {}
+
+    def walk(node):
+        cls = node.getClass().getName()
+        if "FileSourceScan" in cls and not found:
+            m = node.metrics()
+            it = m.keys().iterator()
+            while it.hasNext():
+                k = it.next()
+                found[k] = m.apply(k).value()
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if "AdaptiveSparkPlan" in cls:
+            walk(node.executedPlan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    assert found, "no parquet scan node in the executed plan"
+    return found
+
+
 def test_predicate_pushdown_reaches_scan(spark, tsmall_path):
     df = spark.read.parquet(tsmall_path)
     plan = _plan(df.where(F.col("conv_id") == "conv-000003"))
@@ -47,6 +75,41 @@ def test_partition_pruning_on_date_layout(spark, tsmall_path, tmp_path):
     n_dirs = len([d for d in os.listdir(out) if d.startswith("hour=")])
     assert pruned.count() < df.count()
     assert n_dirs == len(hours)
+
+
+def test_partition_pruning_on_conv_bucket_layout(spark):
+    """The Iceberg bucket-transform analog (SURVEY.md §4 scan row): the
+    transcripts table written hive-partitioned by the derived conv_bucket
+    key must prune a conversation-keyed read to ONE partition at
+    planning time — asserted on the scan's numFiles/numPartitions
+    metrics, not just the PartitionFilters string."""
+    from pdf_inspector_spark.transcripts import (conv_bucket,
+                                                 write_transcripts_partitioned)
+    buckets = 8
+    path = write_transcripts_partitioned("t-small", buckets=buckets)
+    read = spark.read.parquet(path)
+    target_conv = "conv-000003"
+    b = conv_bucket(target_conv, buckets)
+    pruned = read.where(F.col("conv_bucket") == b)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "conv_bucket" in plan
+
+    full_m = _scan_metrics(read)
+    pruned_m = _scan_metrics(pruned)
+    assert full_m["numPartitions"] == buckets
+    assert pruned_m["numPartitions"] == 1          # one bucket touched
+    assert 0 < pruned_m["numFiles"] < full_m["numFiles"]
+    assert pruned_m["filesSize"] < full_m["filesSize"]  # less I/O, planned
+
+    # the keyed query is complete and correct within its bucket
+    keyed = pruned.where(F.col("conv_id") == target_conv)
+    flat = spark.read.parquet(write_transcripts("t-small"))
+    assert (keyed.count()
+            == flat.where(F.col("conv_id") == target_conv).count() > 0)
+    # every conversation's rows live in exactly the derived bucket
+    placed = (read.select("conv_id", "conv_bucket").distinct().collect())
+    assert all(r["conv_bucket"] == conv_bucket(r["conv_id"], buckets)
+               for r in placed)
 
 
 def test_encrypted_pdf_routes_to_quarantine():

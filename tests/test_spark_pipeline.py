@@ -179,6 +179,12 @@ def test_dedup_plan_identical_to_row_plan(spark, tsmall_path, result_df):
     d = sorted(map(str, with_turn_order(
         run_pipeline(withnull, with_markdown=True)).select(cols).collect()))
     assert c == d
+    # the single-scan (persist) variant is plan-level equivalent too —
+    # the r4 A/B picked two-scan as default on throughput, not semantics
+    e = sorted(map(str, run_pipeline_dedup(df, single_scan=True)
+                   .select(cols).collect()))
+    assert e == b
+    spark.catalog.clearCache()
 
 
 def test_dedup_plan_shape(spark, tsmall_path):

@@ -134,9 +134,23 @@ register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
 
 
 def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
-                      cap: int = BUCKET_CAP) -> str:
+                      cap: int = BUCKET_CAP, fanout: int = 64) -> str:
     """CTE chain (Spark SQL) ending in `bands(doc_id, b, bkey)`:
-    rep-collapse → shingle → hash → minhash → band → bucket cap."""
+    rep-collapse → repartition(fanout) → shingle → hash → minhash →
+    band → bucket cap.
+
+    The explicit REPARTITION after the rep-collapse is load-bearing
+    (r4, measured): AQE coalesces shuffle reads by map-output BYTES,
+    and the rep-collapse exchange carries only ~1.3 MB of compressed
+    text at sf0.1 — so the CPU-dense shingle→hash→minhash stage above
+    it collapsed to ONE task carrying ~3 CPU-seconds of fold work
+    (the capped-bands subquery measured 3.0 s wall on a 32-core box,
+    ~1.0 s after the fix; the residual is per-task setup — a fanout
+    sweep measured 16/32/64 partitions statistically tied, so fanout
+    stays moderate rather than maximal). An explicit partition count is
+    exempt from AQE coalescing; bands_df passes 2×defaultParallelism.
+    The same bytes-vs-CPU mismatch exists at 10^12 rows — derived-work
+    stages must partition by expected CPU, not by exchange bytes."""
     n_perms = n_bands * rows_per_band
     bkey = SPARK_H64.format(
         x=f"concat_ws(':', transform(sequence(1, {rows_per_band}), "
@@ -154,7 +168,8 @@ reps AS (
   GROUP BY sha2(text, 256), length(text)
 ),
 toks AS (
-  SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  SELECT /*+ REPARTITION({fanout}, doc_id) */
+         doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
   FROM reps
 ),
 sh AS (
@@ -253,6 +268,13 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _cpu_fanout(spark) -> int:
+    """Partition count for CPU-dense derived-work stages: 2×cores —
+    even waves without per-task-overhead inflation (see
+    bands_chain_spark docstring; fanout sweep in BENCH.md r4)."""
+    return max(2 * spark.sparkContext.defaultParallelism, 16)
+
+
 def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
              rows_per_band: int, cap: int = BUCKET_CAP):
     """Materialize the guarded band-signature table once (see
@@ -261,7 +283,8 @@ def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
     without it Catalyst inlines the whole shingle→hash→minhash subtree
     into BOTH join sides (~8× recompute)."""
     load_views(spark, sf_dir)
-    chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap)
+    chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap,
+                              fanout=_cpu_fanout(spark))
     return materialize(
         spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"),
         "bands")
@@ -370,14 +393,18 @@ register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
 # table is materialized once and joined back to both sides of each
 # candidate pair.
 
-_SHINGLES_SPARK = f"""
+def _shingles_spark_sql(fanout: int = 64) -> str:
+    # explicit REPARTITION after the rep-collapse for the same
+    # bytes-vs-CPU reason as bands_chain_spark (see its docstring)
+    return f"""
 WITH reps AS (
   SELECT MIN(doc_id) AS doc_id, FIRST(text) AS text
   FROM documents
   GROUP BY sha2(text, 256), length(text)
 )
 SELECT doc_id, array_distinct({_SH3}) AS shingles
-FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+FROM (SELECT /*+ REPARTITION({fanout}, doc_id) */
+             doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
       FROM reps)
 WHERE size(ts) >= 3
 """
@@ -410,7 +437,7 @@ def _jaccard_spark(spark, sf_dir: str):
     candidate self-join and the two verification joins reuse them instead
     of recomputing the shingle subtree per join side."""
     load_views(spark, sf_dir)
-    sh = materialize(spark.sql(_SHINGLES_SPARK))
+    sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
     bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
     bands.createOrReplaceTempView("jac_bands")
@@ -643,7 +670,7 @@ def _verified_clusters_spark(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
     load_views(spark, sf_dir)
-    sh = materialize(spark.sql(_SHINGLES_SPARK))
+    sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
     bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
     bands.createOrReplaceTempView("jac_bands")

@@ -32,17 +32,29 @@ _DOT_SPARK = ("aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> "
 _DOT_DUCK = ("list_sum(list_transform(range(1, 65), i -> "
              "{a}[i::int]::DOUBLE * {b}[i::int]::DOUBLE))")
 
-_TOPK_SPARK = f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+# Norms are computed ONCE PER VECTOR in a projection BELOW the join
+# (r4): the r3 form evaluated sqrt(Σe²) inside the pairs projection —
+# once per PAIR side, a 2,000× recompute for the corpus side at 10
+# queries × 2,000 vectors (and unboundedly worse at scale; a real
+# deployment stores norms next to embeddings). Values are bit-identical
+# (same fold, same sqrt, evaluated per vector instead of per pair).
+
+def _topk_sql(dot: str, neq: str) -> str:
+    return f"""
+WITH em AS (
+  SELECT vec_id, embedding,
+         sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM em WHERE vec_id < 10
 ),
 pairs AS (
   SELECT q.qid, e.vec_id AS nid,
-         {_DOT_SPARK.format(a='q.qe', b='e.embedding')} AS dot,
-         sqrt({_DOT_SPARK.format(a='q.qe', b='q.qe')}) AS qn,
-         sqrt({_DOT_SPARK.format(a='e.embedding', b='e.embedding')}) AS en
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id != q.qid
+         {dot.format(a='q.qe', b='e.embedding')} AS dot,
+         q.qn, e.nrm AS en
+  FROM q CROSS JOIN em e
+  WHERE e.vec_id {neq} q.qid
 ),
 ranked AS (
   SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
@@ -54,27 +66,9 @@ SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 5
 ORDER BY qid, rnk
 """
 
-_TOPK_DUCK = f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
-),
-pairs AS (
-  SELECT q.qid, e.vec_id AS nid,
-         {_DOT_DUCK.format(a='q.qe', b='e.embedding')} AS dot,
-         sqrt({_DOT_DUCK.format(a='q.qe', b='q.qe')}) AS qn,
-         sqrt({_DOT_DUCK.format(a='e.embedding', b='e.embedding')}) AS en
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id <> q.qid
-),
-ranked AS (
-  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
-         ROW_NUMBER() OVER (PARTITION BY qid
-                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
-  FROM pairs
-)
-SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 5
-ORDER BY qid, rnk
-"""
+
+_TOPK_SPARK = _topk_sql(_DOT_SPARK, "!=")
+_TOPK_DUCK = _topk_sql(_DOT_DUCK, "<>")
 
 register("sim_cosine_topk", _sql(_TOPK_SPARK), _TOPK_DUCK,
          "brute-force cosine top-5 for 10 query vectors (deterministic "
@@ -400,7 +394,7 @@ ORDER BY qid, rnk
 # equi-join — nprobe is the recall/cost dial.
 
 _QC_SPARK = f"""
-  SELECT qid, qe, c,
+  SELECT qid, qe, qn, c,
          aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
            (a, i) -> a + CAST(element_at(qe, i) AS DOUBLE) * {_CENT_SPARK}) AS dot_c
   FROM q
@@ -408,7 +402,7 @@ _QC_SPARK = f"""
 """
 
 _QC_DUCK = f"""
-  SELECT qid, qe, c,
+  SELECT qid, qe, qn, c,
          list_sum(list_transform(range(1, 65),
            i -> qe[i::int]::DOUBLE * {_CENT_DUCK})) AS dot_c
   FROM q, (SELECT unnest(range(0, 8)) AS c)
@@ -416,19 +410,25 @@ _QC_DUCK = f"""
 
 
 def _multiprobe_sql(assign: str, qc: str, dot: str) -> str:
+    # norms once per vector (an.nrm / q.qn), not per candidate row —
+    # same rationale and bit-identity as _topk_sql
     cos = (f"{dot.format(a='p.qe', b='a.embedding')} / "
-           f"(sqrt({dot.format(a='p.qe', b='p.qe')})"
-           f" * sqrt({dot.format(a='a.embedding', b='a.embedding')}))")
+           f"(p.qn * a.nrm)")
     tcos = (f"{dot.format(a='q.qe', b='e.embedding')} / "
-            f"(sqrt({dot.format(a='q.qe', b='q.qe')})"
-            f" * sqrt({dot.format(a='e.embedding', b='e.embedding')}))")
+            f"(q.qn * e.nrm)")
     return f"""
-WITH assigned AS ({assign}),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+WITH assigned0 AS ({assign}),
+assigned AS (
+  SELECT vec_id, embedding, centroid,
+         sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
+  FROM assigned0
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+      FROM assigned WHERE vec_id < 10),
 qc AS ({qc}),
 probes AS (
-  SELECT qid, qe, c, crank FROM (
-    SELECT qid, qe, c,
+  SELECT qid, qe, qn, c, crank FROM (
+    SELECT qid, qe, qn, c,
            ROW_NUMBER() OVER (PARTITION BY qid
                               ORDER BY dot_c DESC, c) AS crank
     FROM qc) x
@@ -456,7 +456,7 @@ truth AS (
     SELECT q.qid, e.vec_id AS nid,
            ROW_NUMBER() OVER (PARTITION BY q.qid
                               ORDER BY {tcos} DESC, e.vec_id) AS rnk
-    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) x
+    FROM q CROSS JOIN assigned e WHERE e.vec_id <> q.qid) x
   WHERE rnk <= 3
 ),
 h1 AS (

@@ -46,6 +46,14 @@ def get_spark(app_name: str = "pdf-inspector-spark", cpus: int | None = None,
         # fix applied this logic to file count; splits quantize the same
         # way. A real cluster wants the same: splits ≫ executor cores.)
         .config("spark.sql.files.minPartitionNum", str(4 * cpus))
+        # Local shuffles default to the bypass-merge writer below 200
+        # reduce partitions: every map task opens one FILE PER REDUCE
+        # PARTITION (64 tasks × 64 partitions = 4k file opens/fsyncs —
+        # measured ~350 ms/task on the capped-bands exchange, 10× the
+        # stage's actual CPU). Threshold 1 forces the serialized sort
+        # writer (one spill file per task) — the same writer any real
+        # cluster uses, since production reduce counts exceed 200.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")

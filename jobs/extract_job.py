@@ -36,6 +36,10 @@ def main(argv: list[str]) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+             # serialized sort writer even for small reduce counts (core
+             # conf — must be set before the context exists); see
+             # session.py for the measured bypass-writer pathology
+             .config("spark.shuffle.sort.bypassMergeThreshold", "1")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     # Scan splits must be ≫ total cores or wave quantization caps

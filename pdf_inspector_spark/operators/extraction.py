@@ -23,11 +23,14 @@ from . import register
 from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
 
 SCALE = "t-small"
+# v8 (r4): + footnote_table in the payload pool (was golden-only in r3)
+# — the table-cell footnote/continuation cleaner now runs under the
+# end-to-end per-turn gate, not just the corpus golden test.
 # v7: +3 pathological-layout corpus entries (diagonal_text,
 # continuation_table, rtl_text) in the payload pool
-EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v7.parquet")
-EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v7.parquet")
-EXPECTED_PATH_TBENCH = os.path.join(DATA_DIR, "expected_t-bench_v7.parquet")
+EXPECTED_PATH = os.path.join(DATA_DIR, f"expected_{SCALE}_v8.parquet")
+EXPECTED_PATH_TMED = os.path.join(DATA_DIR, "expected_t-med_v8.parquet")
+EXPECTED_PATH_TBENCH = os.path.join(DATA_DIR, "expected_t-bench_v8.parquet")
 
 _EXPECTED_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),

@@ -56,7 +56,7 @@ _TEXT_IDS = [
     "lists_code", "links_annots", "page_numbers", "cjk_text",
     "rotated_text", "contents_array", "type3_font", "nested_form",
     "toc_page", "drop_cap", "hyphen_caption", "objstm",
-    "diagonal_text", "continuation_table", "rtl_text",
+    "diagonal_text", "continuation_table", "rtl_text", "footnote_table",
 ]
 
 

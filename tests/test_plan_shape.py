@@ -311,3 +311,21 @@ def test_multiprobe_recall_strictly_above_single_probe(spark, sf_available):
     hits2 = sum(r["hits_nprobe2"] for r in rows)
     assert hits2 > hits1, (hits1, hits2)
     assert all(r["hits_nprobe2"] >= r["hits_nprobe1"] for r in rows)
+
+
+def test_lsh_chain_repartitions_cpu_dense_stage(spark, sf_available):
+    """The explicit CPU-fanout repartition after the rep-collapse must
+    stay in the plan as a user-specified (AQE-exempt) exchange: without
+    it, AQE sizes the shuffle read by map-output BYTES (~1.3MB of
+    compressed text) and collapses the shingle→minhash stage to one
+    task carrying the whole fold cost (r4, measured 3 CPU-s on one of
+    32 cores)."""
+    from pdf_inspector_spark.operators import load_views
+    from pdf_inspector_spark.operators.dedup import (N_BANDS, ROWS_PER_BAND,
+                                                     _DOCS,
+                                                     bands_chain_spark)
+    load_views(spark, sf_available)
+    chain = bands_chain_spark(_DOCS, N_BANDS, ROWS_PER_BAND, fanout=16)
+    plan = _plan(spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(doc_id" in plan

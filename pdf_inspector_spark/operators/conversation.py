@@ -47,14 +47,6 @@ from . import register
 BLOCK_TURNS = 512          # max turns per grouped-map task
 DOC_CHAR_BUDGET = 4_000_000  # max assembled-doc length (chars)
 
-ASSEMBLY_SCHEMA = T.StructType([
-    T.StructField("conv_id", T.StringType()),
-    T.StructField("n_turns", T.IntegerType()),
-    T.StructField("n_extracted", T.IntegerType()),
-    T.StructField("doc_chars", T.IntegerType()),
-    T.StructField("doc", T.StringType()),
-])
-
 BLOCK_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
     T.StructField("blk", T.LongType()),
@@ -101,9 +93,12 @@ def assemble_docs(result: DataFrame,
                         w.rowsBetween(Window.unboundedPreceding, -1)),
                         F.lit(0))
                     + 2 * (F.row_number().over(w) - 1)))
+    # BIGINT: doc_chars reports the FULL (untruncated) length, which for
+    # a mega conversation exceeds int32 long before the char budget
+    # bounds the assembled string itself
     full_len = (nonempty.groupBy("conv_id")
                 .agg((F.sum("bchars") + 2 * (F.count("*") - 1))
-                     .cast("int").alias("doc_chars")))
+                     .cast("bigint").alias("doc_chars")))
     # Budget cut BEFORE the concat: blocks that start at/after the budget
     # never enter it, so the assembled row is bounded by budget + 1 block.
     doc = (nonempty.where(F.col("chars_before") < doc_char_budget)
@@ -116,7 +111,8 @@ def assemble_docs(result: DataFrame,
             .join(full_len, "conv_id", "left")
             .join(doc, "conv_id", "left")
             .select("conv_id", "n_turns", "n_extracted",
-                    F.coalesce("doc_chars", F.lit(0)).alias("doc_chars"),
+                    F.coalesce("doc_chars", F.lit(0).cast("bigint"))
+                    .alias("doc_chars"),
                     F.coalesce("doc", F.lit("")).alias("doc")))
 
 
@@ -146,7 +142,7 @@ def _register() -> None:
                  COUNT(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 END)::INT
                    AS n_extracted,
                  length(COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
-                   FILTER (WHERE text IS NOT NULL AND text <> ''), ''))::INT AS doc_chars,
+                   FILTER (WHERE text IS NOT NULL AND text <> ''), ''))::BIGINT AS doc_chars,
                  substr(COALESCE(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx)
                    FILTER (WHERE text IS NOT NULL AND text <> ''), ''),
                         1, {DOC_CHAR_BUDGET}) AS doc

@@ -101,19 +101,31 @@ def assemble_docs(result: DataFrame,
                      .cast("bigint").alias("doc_chars")))
     # Budget cut BEFORE the concat: blocks that start at/after the budget
     # never enter it, so the assembled row is bounded by budget + 1 block.
-    doc = (nonempty.where(F.col("chars_before") < doc_char_budget)
-           .groupBy("conv_id")
-           .agg(F.substring(
-               F.concat_ws("\n\n", F.array_sort(F.collect_list(
-                   F.struct("blk", "btext"))).getField("btext")),
-               1, doc_char_budget).alias("doc")))
+    kept = (nonempty.where(F.col("chars_before") < doc_char_budget)
+            .groupBy("conv_id")
+            .agg(F.concat_ws("\n\n", F.array_sort(F.collect_list(
+                F.struct("blk", "btext"))).getField("btext"))
+                .alias("kept_concat")))
+    # Final cut must equal full_doc[:budget] exactly. When the boundary
+    # falls INSIDE the separator after the last kept block, that partial
+    # separator belongs in the output — append one separator before the
+    # substring and bound the cut by min(budget, full length), which
+    # also trims the appended separator away whenever nothing was
+    # dropped (found by the randomized equivalence property test).
     return (stats
             .join(full_len, "conv_id", "left")
-            .join(doc, "conv_id", "left")
+            .join(kept, "conv_id", "left")
             .select("conv_id", "n_turns", "n_extracted",
                     F.coalesce("doc_chars", F.lit(0).cast("bigint"))
                     .alias("doc_chars"),
-                    F.coalesce("doc", F.lit("")).alias("doc")))
+                    F.coalesce(
+                        F.substring(F.concat("kept_concat", F.lit("\n\n")),
+                                    1, doc_char_budget)
+                        .substr(F.lit(1),
+                                F.least(F.lit(doc_char_budget),
+                                        F.coalesce("doc_chars",
+                                                   F.lit(0).cast("bigint")))),
+                        F.lit("")).alias("doc")))
 
 
 def _assemble(spark: SparkSession, sf_dir: str):

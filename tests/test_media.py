@@ -231,3 +231,38 @@ def test_frame_sampling_codec_stub_raises(spark, media_df):
 def test_payload_generator_is_pure():
     assert _payload_for(7, 100) == _payload_for(7, 100)
     assert _payload_for(7, 100) != _payload_for(8, 100)
+
+
+# -- property tests: generator → parser/decoder roundtrips --------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 64), h=st.integers(1, 64), mid=st.integers(0, 10**6))
+def test_prop_image_header_roundtrip(w, h, mid):
+    for fmt, make, depth in (("png", make_png, 8), ("bmp", make_bmp, 24),
+                             ("ppm", make_ppm, 8), ("jpeg", make_jpeg, 8)):
+        hdr = parse_media_header(make(w, h, mid), fmt)
+        assert (hdr["decoded_width"], hdr["decoded_height"],
+                hdr["bit_depth"]) == (w, h, depth), fmt
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 32), h=st.integers(1, 32), mid=st.integers(0, 10**6))
+def test_prop_pixel_decode_roundtrip(w, h, mid):
+    for fmt, make in (("png", make_png), ("bmp", make_bmp)):
+        dw, dh, rgb = decode_image(make(w, h, mid), fmt)
+        assert (dw, dh) == (w, h)
+        assert rgb == _payload_for(mid, w * h * 3), fmt
+
+
+@settings(max_examples=40, deadline=None)
+@given(ms=st.integers(1, 5000), mid=st.integers(0, 10**6))
+def test_prop_duration_roundtrip(ms, mid):
+    # WAV durations quantize to whole samples at 8 kHz
+    n = 8000 * ms // 1000
+    assert parse_media_header(make_wav(ms, mid),
+                              "wav")["decoded_duration_ms"] == n * 1000 // 8000
+    assert parse_media_header(make_mp4(ms, mid),
+                              "mp4")["decoded_duration_ms"] == ms

@@ -329,3 +329,42 @@ def test_lsh_chain_repartitions_cpu_dense_stage(spark, sf_available):
     plan = _plan(spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"))
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_prop_assemble_matches_naive_randomized(spark):
+    """Randomized blocked-assembly equivalence: any mix of NULL/empty/
+    present texts, any block size, any budget must match the naive
+    join-then-cut reference."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_inspector_spark.operators.conversation import assemble_docs
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.data())
+    def check(data):
+        n_convs = data.draw(st.integers(1, 3))
+        rows, naive = [], {}
+        for c in range(n_convs):
+            conv = f"c{c}"
+            texts = data.draw(st.lists(
+                st.one_of(st.none(), st.just(""),
+                          st.text(alphabet="abxy ", min_size=1, max_size=9)),
+                min_size=1, max_size=25))
+            for i, t in enumerate(texts):
+                rows.append((conv, i, t))
+            naive[conv] = [t for t in texts if t]
+        block = data.draw(st.integers(1, 7))
+        budget = data.draw(st.integers(1, 60))
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text_out string")
+        out = {r["conv_id"]: r
+               for r in assemble_docs(df, block_turns=block,
+                                      doc_char_budget=budget).collect()}
+        for conv, texts in naive.items():
+            full = "\n\n".join(texts)
+            r = out[conv]
+            assert r["n_extracted"] == len(texts)
+            assert r["doc_chars"] == len(full)
+            assert r["doc"] == full[:budget]
+
+    check()

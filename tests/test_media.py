@@ -266,3 +266,22 @@ def test_prop_duration_roundtrip(ms, mid):
                               "wav")["decoded_duration_ms"] == n * 1000 // 8000
     assert parse_media_header(make_mp4(ms, mid),
                               "mp4")["decoded_duration_ms"] == ms
+
+
+@settings(max_examples=80, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=200),
+       fmt=st.sampled_from(("png", "bmp", "ppm", "jpeg", "wav", "mp4")))
+def test_prop_parser_never_raises_on_fuzz(payload, fmt):
+    hdr = parse_media_header(payload, fmt)
+    assert set(hdr) == {"decoded_width", "decoded_height", "bit_depth",
+                        "decoded_duration_ms"}
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=200),
+       prefix=st.sampled_from((b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P6\n",
+                               b"\xff\xd8", b"RIFF")))
+def test_prop_parser_never_raises_on_magic_prefixed_fuzz(payload, prefix):
+    """Valid magic + garbage body — the dangerous half-parse path."""
+    for fmt in ("png", "bmp", "ppm", "jpeg", "wav", "mp4"):
+        parse_media_header(prefix + payload, fmt)

@@ -131,15 +131,20 @@ def test_persist_mode_parquet_equivalent(spark, sf_available, monkeypatch):
     localCheckpoint to write+re-read. Results must be identical on the
     pipelines that lean on materialization (guarded LSH pairs and
     star-contraction clusters)."""
-    from pdf_inspector_spark.operators.dedup import (_cluster_star_spark,
-                                                     _minhash_spark)
+    from pdf_inspector_spark.operators.dedup import (
+        _cluster_star_spark, _minhash_spark, _verified_clusters_spark)
     base_pairs = sorted(map(tuple, _minhash_spark(spark, sf_available).collect()))
     base_labels = sorted(map(tuple, _cluster_star_spark(spark, sf_available).collect()))
+    base_vc = sorted(map(tuple,
+                         _verified_clusters_spark(spark, sf_available).collect()))
     monkeypatch.setenv("PDF_INSPECTOR_PERSIST", "parquet")
     pq_pairs = sorted(map(tuple, _minhash_spark(spark, sf_available).collect()))
     pq_labels = sorted(map(tuple, _cluster_star_spark(spark, sf_available).collect()))
+    pq_vc = sorted(map(tuple,
+                       _verified_clusters_spark(spark, sf_available).collect()))
     assert pq_pairs == base_pairs and len(base_pairs) > 0
     assert pq_labels == base_labels and len(base_labels) > 0
+    assert pq_vc == base_vc and len(base_vc) > 0
 
 
 def test_star_contraction_converges_in_log_rounds(spark):

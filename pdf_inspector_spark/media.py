@@ -244,14 +244,27 @@ def _parse_jpeg_header(p: bytes):
     if p[:2] != b"\xff\xd8":
         return None
     pos = 2
-    while pos + 4 <= len(p):  # marker-segment walk
+    while pos + 2 <= len(p):  # marker-segment walk
         if p[pos] != 0xFF:
+            return None
+        # Spec-legal 0xFF fill/padding bytes may precede any marker.
+        while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(p):
             return None
         marker = p[pos + 1]
         if marker in _JPEG_SOF:
+            if pos + 9 > len(p):
+                return None
             precision, h, w = struct.unpack(">BHH", p[pos + 4:pos + 9])
             return _dims(w, h, precision)
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone — no length word follows.
+            pos += 2
+            continue
+        if pos + 4 > len(p):
             return None
         seg_len = struct.unpack(">H", p[pos + 2:pos + 4])[0]
         pos += 2 + seg_len
@@ -547,7 +560,12 @@ def decode_and_resize(df: DataFrame, out_w: int = 224,
                         "out_width": out_w,
                         "out_height": out_h,
                     })
-                except MediaCodecUnavailable:
+                except (MediaCodecUnavailable, ValueError, TypeError,
+                        zlib.error, struct.error):
+                    # Corrupt/truncated payloads (bad IHDR, short IDAT,
+                    # undersized BMP) must be error-as-row too, not a
+                    # stage failure — same contract as
+                    # parse_media_header.
                     rows.append({"media_id": r.media_id, "pixels": None,
                                  "out_width": None, "out_height": None})
             yield pd.DataFrame(rows,

@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from . import register
+from . import materialize, register
 
 # NOTE: `.extraction` is imported lazily inside the functions below.
 # `_assemble_block` is pickled to executors by applyInPandas; a module-
@@ -75,11 +75,18 @@ def assemble_docs(result: DataFrame,
                   block_turns: int = BLOCK_TURNS,
                   doc_char_budget: int = DOC_CHAR_BUDGET) -> DataFrame:
     """Bounded conversation assembly (see module docstring)."""
-    blocks = (result.select("conv_id", "turn_idx", "text_out")
-              .withColumn("blk", (F.col("turn_idx").cast("long")
-                                  / block_turns).cast("long"))
-              .groupBy("conv_id", "blk")
-              .applyInPandas(_assemble_block, BLOCK_SCHEMA))
+    # Materialized once: three aggregations (stats, full_len, kept)
+    # branch off this frame, and without the persist Catalyst inlines
+    # the grouped-map Python stage plus its upstream scan/shuffle into
+    # each consumer (~3x recompute — the same self-join pathology
+    # dedup.py's bands_df materializes to avoid).
+    blocks = materialize(
+        result.select("conv_id", "turn_idx", "text_out")
+        .withColumn("blk", (F.col("turn_idx").cast("long")
+                            / block_turns).cast("long"))
+        .groupBy("conv_id", "blk")
+        .applyInPandas(_assemble_block, BLOCK_SCHEMA),
+        "asm_blocks")
     stats = (blocks.groupBy("conv_id")
              .agg(F.sum("n_turns").cast("int").alias("n_turns"),
                   F.sum("n_extracted").cast("int").alias("n_extracted")))

@@ -72,7 +72,9 @@ _DEC_W = f"""CASE fmt
 
 _DEC_H = f"""CASE fmt
     WHEN 'png'  THEN {_be(20, 4)}
-    WHEN 'bmp'  THEN abs({_le(22, 4)}::INT)::BIGINT
+    WHEN 'bmp'  THEN abs(CASE WHEN {_le(22, 4)} >= 2147483648
+                         THEN {_le(22, 4)} - 4294967296
+                         ELSE {_le(22, 4)} END)
     WHEN 'jpeg' THEN {_be(25, 2)}
     WHEN 'ppm'  THEN regexp_extract(decode(payload),
                      '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 2)::BIGINT

@@ -285,3 +285,64 @@ def test_prop_parser_never_raises_on_magic_prefixed_fuzz(payload, prefix):
     """Valid magic + garbage body — the dangerous half-parse path."""
     for fmt in ("png", "bmp", "ppm", "jpeg", "wav", "mp4"):
         parse_media_header(prefix + payload, fmt)
+
+
+# -- round-5 hardening: spec-legal JPEG variants, corrupt-payload rows,
+# -- top-down BMP oracle sign-fold ------------------------------------------
+
+def test_jpeg_header_fill_bytes_and_standalone_markers():
+    """Spec-legal JPEGs may pad with 0xFF fill bytes between segments and
+    emit length-less standalone markers (TEM 0x01, RST 0xD0-0xD7) before
+    SOF — the walk must skip both instead of misreading a length."""
+    base = make_jpeg(40, 30, 7)
+    # Splice fill bytes + a TEM + an RST1 between APP0 and SOF0.
+    app0_end = 2 + 2 + 16   # SOI + APP0 marker + APP0 payload
+    spliced = (base[:app0_end]
+               + b"\xff\xff\xff"          # fill bytes before next marker
+               + b"\xff\x01"              # TEM (standalone)
+               + b"\xff\xd1"              # RST1 (standalone)
+               + base[app0_end:])
+    hdr = parse_media_header(spliced, "jpeg")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (40, 30, 8)
+
+
+def test_decode_resize_corrupt_payload_error_as_row(spark):
+    """Corrupt/truncated container bytes must yield a NULL pixel row
+    (error-as-row), never a stage failure: bad-IHDR PNG (ValueError /
+    TypeError path), truncated IDAT (zlib.error path), undersized BMP
+    (struct/ValueError path) — mixed with one good row that must still
+    decode."""
+    good = make_png(4, 4, 1)
+    bad_png = good[:12] + b"JUNK" + good[16:]          # IHDR tag destroyed
+    trunc_png = good[:40]                               # cut inside IDAT
+    bad_bmp = make_bmp(8, 8, 2)[:30]                    # header torn mid-way
+    rows = [(0, "image", "png", good),
+            (1, "image", "png", bad_png),
+            (2, "image", "png", trunc_png),
+            (3, "image", "bmp", bad_bmp)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "fmt string, payload binary")
+    out = {r["media_id"]: r for r in decode_and_resize(df, 8, 8).collect()}
+    assert len(out) == 4
+    assert len(out[0]["pixels"]) == 8 * 8 * 3
+    for mid in (1, 2, 3):
+        assert out[mid]["pixels"] is None
+        assert out[mid]["out_width"] is None
+
+
+def test_bmp_oracle_height_signfold_top_down():
+    """The DuckDB height oracle must reinterpret the LE@22 uint as a
+    signed int32 before abs() — a top-down BMP (negative height) reads
+    as >= 2^31 unsigned and a bare ::INT cast raises out-of-range."""
+    import duckdb
+
+    from pdf_inspector_spark.operators.multimodal import _DEC_H
+    p = bytearray(make_bmp(3, 2, 0))
+    p[22:26] = struct.pack("<i", -2)                    # top-down
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m AS SELECT 'bmp' AS fmt, ? AS payload, "
+                "hex(?) AS h", [bytes(p), bytes(p)])
+    (h,) = con.execute(f"SELECT {_DEC_H} FROM m").fetchone()
+    hdr = parse_media_header(bytes(p), "bmp")
+    assert h == hdr["decoded_height"] == 2

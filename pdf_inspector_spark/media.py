@@ -5,19 +5,21 @@ metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
 
 Since r4 the payloads are REAL container files built with stdlib only
 (zlib/struct): valid PNG (IHDR+IDAT+IEND with CRCs), BMP
-(BITMAPINFOHEADER, 24bpp, bottom-up rows), binary PPM (P6), JPEG with a
-real JFIF/SOF0 marker structure (scan data is synthetic — encoding real
-entropy-coded JPEG needs a codec), canonical RIFF/WAVE PCM, and an
+(BITMAPINFOHEADER, 24bpp, bottom-up rows), binary PPM (P6), baseline
+JPEG (since r5 with a REAL entropy-coded scan — standard Annex K
+tables, pdf_inspector_spark.jpeg), canonical RIFF/WAVE PCM, and an
 ISO-BMFF (MP4) ftyp+moov/mvhd+mdat layout. ``parse_media_header`` does
 the real decode of width/height/bit-depth/duration from those headers —
 no imaging library required (reference analog: pdf-inspector sizes image
 XObjects from their dictionaries, src/detector.rs:328-399, and never
 decodes pixels either).
 
-The pixel-decode path (``decode_image``/``decode_and_resize``) is also
-real for PNG (zlib inflate + full filter-type-0..4 reconstruction), BMP
-and PPM; JPEG entropy decoding is the one remaining codec boundary and
-yields a NULL pixel row (the documented PIL/libjpeg drop-in point).
+The pixel-decode path (``decode_image``/``decode_and_resize``) is real
+for ALL image formats in the table: PNG (zlib inflate + full
+filter-type-0..4 reconstruction), BMP, PPM, and baseline JPEG (full
+Huffman → dequantize → IDCT → YCbCr→RGB decode). Only video frame
+sampling still surfaces MediaCodecUnavailable (the ffmpeg drop-in
+point).
 
 The synthetic media table is deterministic (seeded from ids) so tests
 and oracles are stable:
@@ -125,21 +127,15 @@ def make_ppm(width: int, height: int, media_id: int) -> bytes:
 
 
 def make_jpeg(width: int, height: int, media_id: int) -> bytes:
-    """JPEG with a real marker structure: SOI + APP0(JFIF) + SOF0 carrying
-    the true dimensions + SOS + synthetic scan bytes (0xFF-free so the
-    marker walk terminates correctly) + EOI. Header-parseable by any
-    JPEG reader; entropy data is not a real scan (codec boundary)."""
-    soi = b"\xff\xd8"
-    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
-            + bytes((1, 1, 0)) + struct.pack(">HH", 72, 72) + b"\x00\x00")
-    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
-            + struct.pack(">HH", height, width) + b"\x03"
-            + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
-    sos = (b"\xff\xda" + struct.pack(">H", 12)
-           + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
-    scan = bytes(b if b != 0xFF else 0xFE
-                 for b in _payload_for(media_id, 128 + media_id % 256))
-    return soi + app0 + sof0 + sos + scan + b"\xff\xd9"
+    """REAL baseline sequential-DCT JPEG (since r5): deterministic RGB
+    pixels (id-seeded) entropy-coded with the standard Annex K
+    quantization + Huffman tables (pdf_inspector_spark.jpeg). SOF0 sits
+    directly after the 16-byte APP0, so the frame header stays at the
+    fixed offsets the hex-offset SQL oracle reads (spec-legal: tables
+    need only precede the scan, T.81 B.2.4)."""
+    from .jpeg import encode_baseline_jpeg
+    rgb = _payload_for(media_id, width * height * 3)
+    return encode_baseline_jpeg(rgb, width, height, quant_scale=1.0)
 
 
 def make_wav(duration_ms: int, media_id: int, rate: int = WAV_RATE) -> bytes:
@@ -344,8 +340,8 @@ def _media_row(i: int) -> dict:
 
 def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
                 force: bool = False) -> str:
-    # v2: payloads are real container files (see module docstring)
-    path = os.path.join(data_dir, f"media_{n_rows}_v2.parquet")
+    # v3: JPEG payloads carry real entropy-coded scans (see docstring)
+    path = os.path.join(data_dir, f"media_{n_rows}_v3.parquet")
     if os.path.exists(path) and not force:
         return path
     os.makedirs(data_dir, exist_ok=True)
@@ -425,7 +421,7 @@ def media_features(df: DataFrame) -> DataFrame:
 
 # -- pixel decode / resize ----------------------------------------------------
 
-DECODABLE_FORMATS = ("png", "bmp", "ppm")
+DECODABLE_FORMATS = ("png", "bmp", "ppm", "jpeg")
 
 DECODED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -529,6 +525,9 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        from .jpeg import decode_baseline_jpeg
+        return decode_baseline_jpeg(payload)
     raise MediaCodecUnavailable(
         f"pixel decode for {fmt!r} requires an external codec")
 

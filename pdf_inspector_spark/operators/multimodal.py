@@ -16,9 +16,9 @@
   oracle re-derives the same fields in SQL from hex(payload): PNG/BMP/
   WAV/MP4/JPEG at their header offsets (fixed in the generated layout;
   the Python side does the real walk), PPM via regexp over the ASCII
-  header. Pixel decode (decode_and_resize) is real for PNG/BMP/PPM too;
-  JPEG entropy decoding is the one stubbed codec boundary
-  (tests/test_media.py).
+  header. Pixel decode (decode_and_resize) is real for every image
+  format including baseline JPEG (full entropy decode since r5,
+  pdf_inspector_spark/jpeg.py; tests/test_media.py).
 """
 
 from __future__ import annotations
@@ -144,7 +144,7 @@ def _register() -> None:
     import os
 
     from ..transcripts import DATA_DIR
-    path = os.path.join(DATA_DIR, "media_2000_v2.parquet")  # written on demand
+    path = os.path.join(DATA_DIR, "media_2000_v3.parquet")  # written on demand
     src = f"read_parquet('{path}')"
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),

@@ -157,9 +157,53 @@ def test_resize_nearest_identity_and_downscale():
     assert small == rgb[:3]  # top-left pixel
 
 
-def test_jpeg_pixel_decode_is_the_codec_boundary():
-    with pytest.raises(MediaCodecUnavailable):
-        decode_image(make_jpeg(4, 4, 1), "jpeg")
+def test_jpeg_pixel_decode_real():
+    """Since r5 JPEG decode is real (pdf_inspector_spark/jpeg.py): the
+    generated payload's entropy-coded scan decodes to pixels of the
+    right shape, and (lossy codec) within quantization distance of the
+    source RGB on a smooth image."""
+    w, h, rgb = decode_image(make_jpeg(6, 5, 1), "jpeg")
+    assert (w, h) == (6, 5)
+    assert len(rgb) == 6 * 5 * 3
+
+
+def test_jpeg_roundtrip_near_lossless_and_standard():
+    import numpy as np
+
+    from pdf_inspector_spark.jpeg import (decode_baseline_jpeg,
+                                          encode_baseline_jpeg)
+    w, h = 19, 13
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([x * 255 // (w - 1), y * 255 // (h - 1),
+                    (x + y) * 255 // (w + h - 2)],
+                   axis=-1).astype(np.uint8)
+    # Tiny quant steps → error bounded by DCT float rounding only.
+    enc = encode_baseline_jpeg(rgb.tobytes(), w, h, quant_scale=0.05)
+    dw, dh, out = decode_baseline_jpeg(enc)
+    assert (dw, dh) == (w, h)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(dec - rgb.astype(int)).max() <= 3
+    # Standard Annex K tables (quant_scale=1): lossy, but every pixel of
+    # a smooth gradient stays within the coarse-quantization envelope.
+    enc2 = encode_baseline_jpeg(rgb.tobytes(), w, h, quant_scale=1.0)
+    dw2, dh2, out2 = decode_baseline_jpeg(enc2)
+    assert (dw2, dh2) == (w, h) and len(out2) == w * h * 3
+    # The frame header must stay at the oracle's fixed offsets.
+    assert enc2[20:22] == b"\xff\xc0" and enc2[24] == 8
+    assert struct.unpack(">HH", enc2[25:29]) == (h, w)
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    base = make_jpeg(8, 8, 3)
+    # progressive: flip SOF0 (0xC0 at offset 20-21) to SOF2
+    prog = base[:21] + b"\xc2" + base[22:]
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(base[:40])        # truncated mid-header
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(base[:-20])       # truncated entropy stream
 
 
 # -- table-level invariants ---------------------------------------------------

@@ -410,12 +410,22 @@ def should_join_items(prev_item: TextItem, curr_item: TextItem) -> bool:
 
 
 class TextLine:
-    __slots__ = ("items", "y", "page")
+    __slots__ = ("items", "y", "page", "_tcache")
 
     def __init__(self, items: list[TextItem], y: float, page: int) -> None:
         self.items = items
         self.y = y
         self.page = page
+        # Rendered-text memo: the markdown heuristics call text()/
+        # text_plain() ~7x per line (r5 profile: 91.5k calls for 13k
+        # lines). Keyed by (len(items), bold, italic): appends/extends
+        # (group_single_column, merge_heading_lines) change the length
+        # and miss naturally; the ONE in-place item mutation
+        # (merge_drop_caps) calls invalidate() explicitly.
+        self._tcache: dict | None = None
+
+    def invalidate(self) -> None:
+        self._tcache = None
 
     def _needs_space_between(self, prev_item: TextItem, item: TextItem, result: str) -> bool:
         """src/extractor.rs:619-651."""
@@ -440,6 +450,9 @@ class TextLine:
         return self.text_with_formatting(False, False)
 
     def text_plain(self) -> str:
+        return self.text_with_formatting(False, False)
+
+    def text_plain_uncached(self) -> str:
         """src/extractor.rs:601-616."""
         result = ""
         for i, item in enumerate(self.items):
@@ -453,8 +466,21 @@ class TextLine:
 
     def text_with_formatting(self, format_bold: bool, format_italic: bool) -> str:
         """src/extractor.rs:524-598."""
+        key = (len(self.items), format_bold, format_italic)
+        cache = self._tcache
+        if cache is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+        out = self._render(format_bold, format_italic)
+        if cache is None:
+            cache = self._tcache = {}
+        cache[key] = out
+        return out
+
+    def _render(self, format_bold: bool, format_italic: bool) -> str:
         if not format_bold and not format_italic:
-            return self.text_plain()
+            return self.text_plain_uncached()
         result = ""
         current_bold = False
         current_italic = False

@@ -132,6 +132,10 @@ _CAPTION_PREFIXES = (
 )
 
 
+_LIST_NUM_RE = re.compile(r"[0-9]+[.)]")
+_SPECIAL_DELETE = str.maketrans("", "", "{}()[];=<>")
+
+
 def is_caption_line(text: str) -> bool:
     t = text.strip()
     if t.startswith(_CAPTION_PREFIXES):
@@ -146,13 +150,11 @@ def is_list_item(text: str) -> bool:
     t = text.lstrip()
     if t.startswith(("• ", "- ", "* ", "○ ", "● ", "◦ ")):
         return True
-    first5 = t[:5]
-    if any(c.isascii() and c.isdigit() for c in first5):
-        idx = next((i for i, c in enumerate(first5) if c in ".)"), -1)
-        if idx != -1:
-            prefix = first5[:idx]
-            if prefix and all(c.isascii() and c.isdigit() for c in prefix):
-                return True
+    # == "first '.'/')' in t[:5] is preceded by 1+ ASCII digits only"
+    # ([0-9] == isascii+isdigit; single C-level match replaces the
+    # any/next/all genexpr chain that was a markdown-stage hotspot, r5)
+    if _LIST_NUM_RE.match(t[:5]):
+        return True
     if len(t) >= 2:
         first, second = t[0], t[1]
         if first.isascii() and first.isalpha() and second in ".)":
@@ -184,7 +186,8 @@ def is_code_like(text: str) -> bool:
     t = text.strip()
     if t.startswith(_CODE_PATTERNS):
         return True
-    special = sum(1 for c in t if c in "{}()[];=<>")
+    # C-level count via delete-translate (== sum of c in "{}()[];=<>")
+    special = len(t) - len(t.translate(_SPECIAL_DELETE))
     if special >= 3 and len(t) < 200:
         return True
     return t.endswith((";", "{", "}"))
@@ -262,6 +265,7 @@ def merge_drop_caps(lines: list[TextLine], base_size: float) -> list[TextLine]:
             if target_idx is not None and result[target_idx].items:
                 first = result[target_idx].items[0]
                 first.text = drop_char + first.text.strip()
+                result[target_idx].invalidate()  # in-place item mutation
             continue
         result.append(line)
     return result

@@ -314,6 +314,60 @@ class _Lexer:
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = frozenset(b" \t\n\r\x0c\x0b")    # regex bytes \s class
+_DIGITS = frozenset(b"0123456789")
+
+
+def _iter_obj_headers(buf: bytes):
+    """Yield (obj_num, header_end) for every ``N G obj`` header —
+    equivalent to ``_OBJ_RE.finditer`` (same matches, same order,
+    header_end == m.end()) but anchored on C-speed ``find(b"obj")``
+    with a backward validation scan. The regex form restarts a match
+    attempt at EVERY digit byte, and compressed stream payloads are full
+    of digit bytes — the scan was ~55% of Document.load_mem wall time
+    (r5 profile; this form is ~8x faster on the corpus mix).
+    Equivalence is pinned by a fuzz test (tests/test_pdfobj_robustness)."""
+    is_ws, is_digit = _WS.__contains__, _DIGITS.__contains__
+    n = len(buf)
+    pos = 0
+    while True:
+        i = buf.find(b"obj", pos)
+        if i == -1:
+            return
+        pos = i + 3
+        # \b after 'obj': next byte must not be a word char
+        if pos < n:
+            c = buf[pos]
+            if (48 <= c <= 57 or 65 <= c <= 90 or 97 <= c <= 122
+                    or c == 95):
+                continue
+        # \s+ before 'obj' (rules out 'endobj')
+        k = i - 1
+        while k >= 0 and is_ws(buf[k]):
+            k -= 1
+        if k == i - 1:
+            continue
+        # generation digits
+        g = k
+        while g >= 0 and is_digit(buf[g]):
+            g -= 1
+        if g == k:
+            continue
+        # \s+ between num and gen
+        w = g
+        while w >= 0 and is_ws(buf[w]):
+            w -= 1
+        if w == g:
+            continue
+        # object-number digits (maximal run, as the greedy regex takes)
+        s = w
+        while s >= 0 and is_digit(buf[s]):
+            s -= 1
+        if s == w:
+            continue
+        yield int(buf[s + 1:w + 1]), pos
+
+
 _TRAILER_RE = re.compile(rb"trailer")
 # Cross-document parsed-object intern pool (see Document.load_mem).
 # Worst-case memory is bounded by entries x span cap (a Stream keeps its
@@ -342,9 +396,7 @@ class Document:
             raise ValueError("not a PDF: missing %PDF header")
         doc = cls()
         intern = _obj_intern
-        for m in _OBJ_RE.finditer(buf):
-            num = int(m.group(1))
-            start = m.end()
+        for num, start in _iter_obj_headers(buf):
             # Cross-document object interning: font programs, width
             # tables, and page templates repeat byte-identically across a
             # corpus. Key = sha256+length of the span up to 'endobj'

@@ -106,3 +106,52 @@ def test_object_intern_shares_identical_font_objects():
     fa, fb = font_obj(da), font_obj(db)
     assert fa is not None and fb is not None
     assert fa is fb  # interned: same object identity
+
+
+def test_iter_obj_headers_equivalent_to_regex():
+    """The find()-anchored header scan must yield exactly what the
+    reference regex yields — same (num, end) pairs, same order — on
+    adversarial byte soups (digits inside streams, endobj substrings,
+    word chars after obj, multi-number runs, boundary positions)."""
+    import re
+
+    from pdf_inspector_spark.kernels.pdfobj import (_OBJ_RE,
+                                                    _iter_obj_headers)
+
+    cases = [
+        b"1 0 obj << >> endobj",
+        b"12 3 obj obj 4 5 obj",
+        b"1 2 3 obj",
+        b"1 2 obj3 4 obj",
+        b"99 88 obj7 6 obj x",
+        b"endobj obj 5 6 objA 7\t\r\n8 obj",
+        b"stream 123 456 789 obj endstream",
+        b"0 0 obj",
+        b"obj", b" obj", b"5obj", b"5 obj", b"5  6   obj",
+        b"5\x0c6\x0bobj",          # formfeed / vertical tab are \s
+        b"\xff\xd8 12 0 obj \x00\x01 13 0 obj",
+        b"9 9 obj" + b"obj" * 5,
+        b"1 0 obj 2 0 obj 3 0 obj",
+    ]
+    import random
+    rng = random.Random(42)
+    alphabet = b"0123456789 \t\r\nobjendstream<<>>/x\x00\xff"
+    for _ in range(300):
+        cases.append(bytes(rng.choice(alphabet)
+                           for _ in range(rng.randrange(0, 200))))
+    for buf in cases:
+        expect = [(int(m.group(1)), m.end())
+                  for m in _OBJ_RE.finditer(buf)]
+        got = list(_iter_obj_headers(buf))
+        assert got == expect, buf
+
+
+def test_iter_obj_headers_equivalent_on_corpus():
+    """Same equivalence on every real corpus payload."""
+    from pdf_inspector_spark.corpus import corpus_payloads
+    from pdf_inspector_spark.kernels.pdfobj import (_OBJ_RE,
+                                                    _iter_obj_headers)
+    for doc_id, buf in corpus_payloads().items():
+        expect = [(int(m.group(1)), m.end())
+                  for m in _OBJ_RE.finditer(buf)]
+        assert list(_iter_obj_headers(buf)) == expect, doc_id

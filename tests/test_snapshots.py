@@ -1,0 +1,138 @@
+"""Snapshot/manifest source layer (Iceberg-semantics analog —
+pdf_inspector_spark/snapshots.py): snapshot isolation, time travel,
+overwrite without clobbering history, rollback, expiry, and partition
+pruning through explicit-file-list reads."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_inspector_spark import snapshots as S
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, part):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    F.lit(part).alias("bucket"),
+                    (F.col("id") * 2).alias("val")))
+
+
+def test_append_and_time_travel(spark, root):
+    s1 = S.commit(_df(spark, 0, 10, 0), root)
+    s2 = S.commit(_df(spark, 10, 25, 1), root)
+    assert s2["parent_id"] == s1["snapshot_id"]
+    assert S.read(spark, root).count() == 25
+    # time travel: the first snapshot still reads exactly its own rows
+    old = S.read(spark, root, s1["snapshot_id"])
+    assert old.count() == 10
+    assert old.agg(F.max("id")).first()[0] == 9
+
+
+def test_overwrite_keeps_history(spark, root):
+    s1 = S.commit(_df(spark, 0, 10, 0), root)
+    s2 = S.commit(_df(spark, 100, 103, 0), root, mode="overwrite")
+    assert S.read(spark, root).count() == 3
+    assert S.read(spark, root, s1["snapshot_id"]).count() == 10
+    assert [m["operation"] for m in S.history(root)] == \
+        ["append", "overwrite"]
+    assert s2["sequence"] == 2
+
+
+def test_rollback_is_a_recorded_operation(spark, root):
+    s1 = S.commit(_df(spark, 0, 10, 0), root)
+    S.commit(_df(spark, 100, 103, 0), root, mode="overwrite")
+    s3 = S.rollback(root, s1["snapshot_id"])
+    assert S.read(spark, root).count() == 10
+    assert s3["operation"] == f"rollback:{s1['snapshot_id']}"
+    assert len(S.history(root)) == 3    # history is append-only
+
+
+def test_unknown_snapshot_raises(spark, root):
+    S.commit(_df(spark, 0, 5, 0), root)
+    with pytest.raises(S.SnapshotError):
+        S.read(spark, root, "deadbeef00000000")
+    with pytest.raises(S.SnapshotError):
+        S.read(spark, str(root) + "_missing")
+
+
+def test_snapshot_ids_deterministic(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # Same data, same sequence -> ids differ only through the file-name
+    # component; parent chain and sequence are part of the id input.
+    sa1 = S.commit(_df(spark, 0, 5, 0).coalesce(1), a)
+    sb1 = S.commit(_df(spark, 0, 5, 0).coalesce(1), b)
+    assert sa1["sequence"] == sb1["sequence"] == 1
+    assert sa1["parent_id"] is None and sb1["parent_id"] is None
+
+
+def test_expire_removes_only_dead_files(spark, root):
+    s1 = S.commit(_df(spark, 0, 10, 0), root)
+    S.commit(_df(spark, 10, 20, 0), root)                  # s2 = s1 + new
+    S.commit(_df(spark, 100, 105, 0), root, mode="overwrite")  # s3
+    deleted = S.expire(root, keep_last=1)
+    # s1/s2's files are dead (s3 overwrote); s3's files live
+    assert deleted, "expire should delete the overwritten files"
+    assert S.read(spark, root).count() == 5
+    with pytest.raises(S.SnapshotError):
+        S.read(spark, root, s1["snapshot_id"])
+
+
+def test_partition_pruning_through_snapshot_read(spark, root):
+    """File-list reads with basePath must keep hive partition columns
+    AND partition pruning — proven on the scan's actual SQL metrics,
+    like tests/test_scan_pruning.py."""
+    df = (spark.range(0, 64)
+          .select(F.col("id"), (F.col("id") % 8).alias("bucket")))
+    S.commit(df.repartition("bucket"), root, partition_by=["bucket"])
+    snap = S.read(spark, root)
+    assert "bucket" in snap.columns
+    pruned = snap.where(F.col("bucket") == 3)
+    assert pruned.count() == 8
+
+    found = {}
+
+    def walk(node):
+        cls = node.getClass().getName()
+        if "FileSourceScan" in cls and not found:
+            m = node.metrics()
+            it = m.keys().iterator()
+            while it.hasNext():
+                k = it.next()
+                found[k] = m.apply(k).value()
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if "AdaptiveSparkPlan" in cls:
+            walk(node.executedPlan())
+
+    pruned.collect()
+    walk(pruned._jdf.queryExecution().executedPlan())
+    assert found
+    total_files = len(S.current_snapshot(root)["files"])
+    assert found["numFiles"] < total_files, (
+        f"partition pruning did not reach the scan: read "
+        f"{found['numFiles']} of {total_files} files")
+
+
+def test_pipeline_output_snapshot_roundtrip(spark, tsmall_path):
+    """The intended production wiring: each pipeline wave commits its
+    output as a snapshot; a re-run overwrite produces a new snapshot
+    while the previous stays auditable."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pi_snap_")
+    src = spark.read.parquet(tsmall_path)
+    n = src.count()
+    n_heads = src.where(F.col("turn_idx") == 0).count()
+    assert 0 < n_heads < n
+    s1 = S.commit(src, out)
+    s2 = S.commit(src.where(F.col("turn_idx") == 0), out, mode="overwrite")
+    assert S.read(spark, out).count() == n_heads
+    assert S.read(spark, out, s1["snapshot_id"]).count() == n
+    assert S.history(out)[-1]["snapshot_id"] == s2["snapshot_id"]

@@ -373,3 +373,27 @@ def test_prop_assemble_matches_naive_randomized(spark):
             assert r["doc"] == full[:budget]
 
     check()
+
+
+def test_assemble_docs_materializes_blocks_once(spark):
+    """ADVICE r4 (medium): assemble_docs branches the grouped-map blocks
+    frame into three aggregations (stats, full_len, kept). Without the
+    materialize, Catalyst inlines the applyInPandas stage and its
+    upstream shuffle into EVERY consumer (~3x recompute). Pin: the final
+    plan contains ZERO FlatMapGroupsInPandas nodes (the grouped map ran
+    once, behind the materialization boundary), and at most one scan of
+    the materialized blocks source feeds each branch."""
+    import pyspark.sql.functions as F
+
+    from pdf_inspector_spark.operators.conversation import assemble_docs
+    turns = (spark.range(0, 300)
+             .select((F.col("id") % 7).cast("string").alias("conv_id"),
+                     (F.col("id") / 7).cast("int").alias("turn_idx"),
+                     F.concat(F.lit("t"), F.col("id")).alias("text_out")))
+    out = assemble_docs(turns, block_turns=16)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" not in plan, (
+        "grouped-map stage re-inlined into the consumers:\n" + plan)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(r["n_turns"] >= 42 for r in rows)

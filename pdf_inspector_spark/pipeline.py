@@ -208,9 +208,24 @@ process_text_udf_nocache = _make_process_udf(with_markdown=False,
 ROUTABLE_TYPES = ("text_based", "mixed")
 
 
+def _payload_expr(df: DataFrame, payload_col: str):
+    """The column fed to the Arrow boundary. A latin-1-carried STRING
+    payload (the input_hint shape) is encoded to BINARY on the JVM side
+    first: Arrow ships strings as UTF-8, which inflates high-bit bytes
+    2x and pays a charset conversion on both sides of the socket —
+    measured 95.7 → 76.7 µs/turn on the no-op-UDF floor (r5 ablation,
+    t-med n4). Spark 4's `encode` raises MALFORMED_CHARACTER_CODING on
+    a non-latin-1 payload, the same stage-level error the Python-side
+    `.encode("latin-1")` raised before, so semantics are unchanged;
+    `_payload_bytes` passes the resulting bytes straight through."""
+    dtype = dict(df.dtypes).get(payload_col)
+    col = F.col(payload_col)
+    return F.encode(col, "ISO-8859-1") if dtype == "string" else col
+
+
 def with_classification(df: DataFrame, payload_col: str = "text") -> DataFrame:
     """classify stage: cheap per-row struct column, no shuffle."""
-    return df.withColumn("cls", classify_udf(F.col(payload_col)))
+    return df.withColumn("cls", classify_udf(_payload_expr(df, payload_col)))
 
 
 def salt_column(num_buckets: int, cols: tuple[str, str] = ("conv_id", "turn_idx")):
@@ -253,7 +268,7 @@ def run_pipeline(df: DataFrame, *, with_markdown: bool = True,
     else:
         udf = (process_structure_udf_nocache if with_markdown
                else process_text_udf_nocache)
-    proc = df.withColumn("proc", udf(F.col(payload_col)))
+    proc = df.withColumn("proc", udf(_payload_expr(df, payload_col)))
     out_cols = [c for c in df.columns if c != payload_col]
     return proc.select(
         *out_cols,
@@ -335,7 +350,7 @@ def run_pipeline_dedup(df: DataFrame, *, with_markdown: bool = True,
                  "title", "text_out", "spans", "markdown", "error_kind",
                  "error_msg", "processing_time_ms"]
     processed = (distinct
-                 .withColumn("proc", udf(F.col(payload_col)))
+                 .withColumn("proc", udf(_payload_expr(distinct, payload_col)))
                  .select("__pk", *[F.col(f"proc.{c}").alias(c)
                                    for c in proc_cols]))
     out_cols = [c for c in df.columns if c != payload_col]
@@ -366,7 +381,8 @@ def run_pipeline_staged(df: DataFrame, *, with_markdown: bool = True,
                                         salt_column(salt_buckets))
 
     udf = extract_structure_udf if with_markdown else extract_udf
-    extracted = routable.withColumn("ext", udf(F.col(payload_col)))
+    extracted = routable.withColumn(
+        "ext", udf(_payload_expr(routable, payload_col)))
     early_exit = early_exit.withColumn("ext", F.lit(None).cast(EXT_SCHEMA))
 
     out_cols = [c for c in df.columns if c != payload_col]

@@ -204,3 +204,18 @@ def test_dedup_plan_shape(spark, tsmall_path):
     agg_pos = plan.index("partial_first")
     arrow_pos = plan.index("ArrowEvalPython")
     assert arrow_pos < agg_pos  # tree prints top-down: python above agg
+
+
+def test_string_payload_crosses_arrow_boundary_as_binary(spark, tsmall_path):
+    """r5 binary fast path: a latin-1-carried STRING payload must be
+    encoded to binary on the JVM side before the Arrow boundary (UTF-8
+    string transfer inflates high-bit bytes 2x and pays a charset
+    conversion on both sides — BENCH.md r5 ablation). Pin the encode in
+    the optimized plan for both the fused and dedup-aware pipelines."""
+    from pdf_inspector_spark.pipeline import run_pipeline_dedup
+    df = spark.read.parquet(tsmall_path)
+    assert dict(df.dtypes)["text"] == "string"
+    for mk in (lambda: run_pipeline(df, with_markdown=False),
+               lambda: run_pipeline_dedup(df, with_markdown=False)):
+        plan = mk()._jdf.queryExecution().executedPlan().toString()
+        assert "encode(" in plan or "Encode.encode" in plan, plan

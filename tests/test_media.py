@@ -1,6 +1,7 @@
 """Multimodal tests: real container-format generators, real header
-decode, real PNG/BMP/PPM pixel decode, and the mapInPandas plumbing.
-JPEG entropy decoding remains the one stubbed codec boundary."""
+decode, real PNG/BMP/PPM/JPEG pixel decode (baseline JPEG codec since
+r5 — pdf_inspector_spark/jpeg.py), and the mapInPandas plumbing. Only
+video frame sampling remains a codec boundary (ffmpeg)."""
 
 import hashlib
 import math
@@ -390,3 +391,39 @@ def test_bmp_oracle_height_signfold_top_down():
     (h,) = con.execute(f"SELECT {_DEC_H} FROM m").fetchone()
     hdr = parse_media_header(bytes(p), "bmp")
     assert h == hdr["decoded_height"] == 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_prop_jpeg_decoder_never_hangs_or_crashes(data):
+    """The decoder must raise ValueError (or MediaCodecUnavailable) on
+    arbitrary garbage — never another exception type, never a hang —
+    both bare and SOI-prefixed (the dangerous half-parse path)."""
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            decode_baseline_jpeg(payload)
+        except (ValueError, MediaCodecUnavailable):
+            pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24), mid=st.integers(0, 10**6))
+def test_prop_jpeg_roundtrip_shape_and_nearlossless(w, h, mid):
+    """Any dimensions (incl. partial blocks): encode→decode returns the
+    exact dimensions and a w*h*3 buffer; at near-lossless quant the
+    smooth-gradient error stays within DCT float-rounding distance."""
+    import numpy as np
+
+    from pdf_inspector_spark.jpeg import (decode_baseline_jpeg,
+                                          encode_baseline_jpeg)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([
+        (x * 255) // max(w - 1, 1),
+        (y * 255) // max(h - 1, 1),
+        ((x + y) * 255) // max(w + h - 2, 1)], axis=-1).astype(np.uint8)
+    enc = encode_baseline_jpeg(rgb.tobytes(), w, h, quant_scale=0.05)
+    dw, dh, out = decode_baseline_jpeg(enc)
+    assert (dw, dh) == (w, h) and len(out) == w * h * 3
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(dec - rgb.astype(int)).max() <= 3

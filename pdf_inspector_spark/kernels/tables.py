@@ -89,6 +89,19 @@ def find_table_regions(items: list[tuple[int, TextItem]]) -> list[tuple[float, f
     return regions
 
 
+def _count_near(a: list[float], b: list[float], tol: float) -> int:
+    """|{x in a : exists y in b with |x-y| < tol}| for ascending lists."""
+    count = 0
+    j = 0
+    nb = len(b)
+    for x in a:
+        while j < nb and b[j] <= x - tol:
+            j += 1
+        if j < nb and abs(x - b[j]) < tol:
+            count += 1
+    return count
+
+
 def find_table_regions_strict(items: list[tuple[int, TextItem]]) -> list[tuple[float, float]]:
     """Row groups ±8pt → ≥3 X-clusters (20pt) → runs ≤25pt gap → pairwise
     column-alignment score ≥0.5 at 10pt tolerance (src/tables.rs:155-271)."""
@@ -143,8 +156,12 @@ def find_table_regions_strict(items: list[tuple[int, TextItem]]) -> list[tuple[f
             for j in range(i + 1, n):
                 a = region_rows[i][1]
                 b = region_rows[j][1]
-                matches_a = sum(1 for x in a if any(abs(x - y) < tolerance for y in b))
-                matches_b = sum(1 for y in b if any(abs(x - y) < tolerance for x in a))
+                # Two-pointer near-match count over the (already sorted
+                # ascending) cluster-start lists — same result as the
+                # quadratic any() scan (equivalence-fuzzed in
+                # tests/test_kernels.py), linear in |a|+|b|.
+                matches_a = _count_near(a, b, tolerance)
+                matches_b = _count_near(b, a, tolerance)
                 max_len = max(len(a), len(b))
                 if max_len > 0:
                     total_score += (matches_a + matches_b) / (2 * max_len)

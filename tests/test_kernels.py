@@ -456,3 +456,26 @@ class TestTableCellCleanup:
         assert "| a " in md
         assert "(1) a footnote" in md
         assert "| (1)" not in md  # footnote is below the table, not a row
+
+
+def test_count_near_equivalent_to_quadratic_scan():
+    """_count_near (two-pointer) must equal the original any()-scan
+    count for ascending float lists — including exact-tolerance
+    boundaries and duplicates."""
+    import random
+
+    from pdf_inspector_spark.kernels.tables import _count_near
+
+    def quad(a, b, tol):
+        return sum(1 for x in a if any(abs(x - y) < tol for y in b))
+
+    rng = random.Random(7)
+    cases = [([], [], 10.0), ([1.0], [], 10.0), ([], [1.0], 10.0),
+             ([0.0, 10.0], [10.0], 10.0),          # exact-tolerance edge
+             ([5.0, 5.0, 5.0], [5.0, 14.9, 15.0], 10.0)]
+    for _ in range(500):
+        a = sorted(round(rng.uniform(0, 200), 1) for _ in range(rng.randrange(0, 12)))
+        b = sorted(round(rng.uniform(0, 200), 1) for _ in range(rng.randrange(0, 12)))
+        cases.append((a, b, rng.choice([10.0, 0.5, 25.0])))
+    for a, b, tol in cases:
+        assert _count_near(a, b, tol) == quad(a, b, tol), (a, b, tol)

@@ -305,8 +305,11 @@ def encode_baseline_jpeg(rgb: bytes, width: int, height: int,
     padded = np.pad(ycc, ((0, ph - height), (0, pw - width), (0, 0)),
                     mode="edge")
 
-    qy = np.maximum(1, np.round(QUANT_LUMA * quant_scale)).astype(np.int64)
-    qc = np.maximum(1, np.round(QUANT_CHROMA * quant_scale)).astype(np.int64)
+    # Clip to [1, 255]: DQT with Pq=0 stores 8-bit entries, so a large
+    # quant_scale must saturate rather than overflow the table bytes.
+    qy = np.clip(np.round(QUANT_LUMA * quant_scale), 1, 255).astype(np.int64)
+    qc = np.clip(np.round(QUANT_CHROMA * quant_scale), 1,
+                 255).astype(np.int64)
     dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)

@@ -335,14 +335,22 @@ def main() -> None:
     gate_tries = int(os.environ.get("SPARK_GRAFT_GATE_ATTEMPTS", "3"))
     gate_sleep = int(os.environ.get("SPARK_GRAFT_GATE_RETRY_SEC", "90"))
 
-    def _hwprobe(cpus: int) -> float:
-        proc = subprocess.run(
-            _pin_cmd(cpus) + [sys.executable, os.path.abspath(__file__),
-                              "--hwprobe", str(cpus)],
-            capture_output=True, text=True, timeout=600,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(
-            proc.stdout.strip().splitlines()[-1])["hw_docs_per_sec"]
+    def _hwprobe(cpus: int) -> float | None:
+        """One pinned no-Spark control probe; None if the probe itself
+        fails (taskset/env trouble) — the gate must never be the thing
+        that aborts a capture."""
+        try:
+            proc = subprocess.run(
+                _pin_cmd(cpus) + [sys.executable, os.path.abspath(__file__),
+                                  "--hwprobe", str(cpus)],
+                capture_output=True, text=True, timeout=600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = (proc.stdout.strip().splitlines()[-1]
+                    if proc.stdout.strip() else "{}")
+            return json.loads(line).get("hw_docs_per_sec")
+        except (subprocess.SubprocessError, json.JSONDecodeError, OSError) as e:
+            sys.stderr.write(f"bench: hwprobe({cpus}) failed: {e}\n")
+            return None
 
     gate_attempts: list[dict] = []
     gate_passed = True
@@ -351,6 +359,13 @@ def main() -> None:
         gate_passed = False
         for attempt in range(gate_tries):
             hw_lo, hw_hi = _hwprobe(glo), _hwprobe(ghi)
+            if not hw_lo or not hw_hi:
+                # Probe failure: proceed ungated (recorded), don't abort.
+                gate_attempts.append({"error": "hwprobe failed",
+                                      f"hw_n{glo}": hw_lo,
+                                      f"hw_n{ghi}": hw_hi})
+                gate_passed = True
+                break
             ratio = round(hw_hi / hw_lo / (ghi / glo), 3)
             gate_attempts.append(
                 {f"hw_n{glo}": hw_lo, f"hw_n{ghi}": hw_hi,

@@ -376,6 +376,8 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("bad marker alignment")
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1            # fill bytes
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -390,9 +392,13 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(
                 f"unsupported JPEG profile (SOF{marker - 0xC0})")
         if marker == 0xC0:      # SOF0
+            if len(body) < 6:
+                raise ValueError("truncated SOF0")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * i:9 + 3 * i]
@@ -416,14 +422,22 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             while p < len(body):
                 cls, tid = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1:p + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT counts")
                 n = sum(bits)
                 vals = list(body[p + 17:p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT values")
                 huffs[(cls, tid)] = _huff_decoder(bits, vals)
                 p += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:    # SOS — entropy data follows
+            if not body:
+                raise ValueError("truncated SOS")
             ncomp = body[0]
+            if len(body) < 1 + 2 * ncomp:
+                raise ValueError("truncated SOS component list")
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                            body[2 + 2 * i] & 0x0F) for i in range(ncomp)]
             pos += seg_len
@@ -431,6 +445,13 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         pos += seg_len
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
+    if len(scan_comps) != len(frame[2]):
+        # A spec-legal baseline file MAY split components across several
+        # non-interleaved scans; this decoder supports the single
+        # interleaved scan it emits. Decoding just the first scan would
+        # return confidently wrong pixels (zero chroma planes) — raise
+        # instead, per the module's profile contract.
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
 
     w, h, comps = frame
     if w == 0 or h == 0:

@@ -560,7 +560,7 @@ def decode_and_resize(df: DataFrame, out_w: int = 224,
                         "out_height": out_h,
                     })
                 except (MediaCodecUnavailable, ValueError, TypeError,
-                        zlib.error, struct.error):
+                        IndexError, zlib.error, struct.error):
                     # Corrupt/truncated payloads (bad IHDR, short IDAT,
                     # undersized BMP) must be error-as-row too, not a
                     # stage failure — same contract as

@@ -108,7 +108,20 @@ def classify_udf(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
                     "confidence": 0.0, "ocr_recommended": False,
                     "error_kind": "NullPayload", "error_msg": "text is null"})
                 continue
-            r = classify_mem(_payload_bytes(payload))
+            try:
+                buf = _payload_bytes(payload)
+            except UnicodeEncodeError as exc:
+                # error-as-row: a payload string that cannot carry
+                # latin-1 bytes goes to the error channel, it does not
+                # fail the stage (SURVEY §2.1 error-channel contract).
+                rows.append({c: None for c in cols} | {
+                    "page_count": 0, "pages_sampled": 0,
+                    "pages_with_text": 0, "confidence": 0.0,
+                    "ocr_recommended": False,
+                    "error_kind": "UnicodeEncodeError",
+                    "error_msg": str(exc)[:500]})
+                continue
+            r = classify_mem(buf)
             rows.append({c: r[c] for c in cols})
         yield pd.DataFrame(rows, columns=cols)
 
@@ -224,8 +237,13 @@ def _payload_expr(df: DataFrame, payload_col: str):
 
 
 def with_classification(df: DataFrame, payload_col: str = "text") -> DataFrame:
-    """classify stage: cheap per-row struct column, no shuffle."""
-    return df.withColumn("cls", classify_udf(_payload_expr(df, payload_col)))
+    """classify stage: cheap per-row struct column, no shuffle.
+
+    Takes the RAW payload column (not _payload_expr): the staged path's
+    contract is error-as-row for undecodable payloads, so the latin-1
+    encode must run inside the UDF's per-row guard, not JVM-side where
+    a failure is job-fatal."""
+    return df.withColumn("cls", classify_udf(F.col(payload_col)))
 
 
 def salt_column(num_buckets: int, cols: tuple[str, str] = ("conv_id", "turn_idx")):
@@ -381,8 +399,14 @@ def run_pipeline_staged(df: DataFrame, *, with_markdown: bool = True,
                                         salt_column(salt_buckets))
 
     udf = extract_structure_udf if with_markdown else extract_udf
-    extracted = routable.withColumn(
-        "ext", udf(_payload_expr(routable, payload_col)))
+    # NOTE: deliberately NOT _payload_expr here. The staged extract path
+    # is the one place the latin-1 encode ran INSIDE the per-row
+    # try/except (_extract_batch "quarantine, never raise"), so a
+    # non-latin-1 payload produced an error row. A JVM-side F.encode
+    # would turn that row into a job-fatal MALFORMED_CHARACTER_CODING.
+    # The fused/dedup paths encoded outside any try (stage-fatal before
+    # AND after), so only they take the binary fast path.
+    extracted = routable.withColumn("ext", udf(F.col(payload_col)))
     early_exit = early_exit.withColumn("ext", F.lit(None).cast(EXT_SCHEMA))
 
     out_cols = [c for c in df.columns if c != payload_col]

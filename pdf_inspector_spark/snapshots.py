@@ -102,6 +102,19 @@ def _publish(root: str, manifest: dict) -> dict:
     return manifest
 
 
+def _next_sequence(root: str, parent: dict | None) -> int:
+    """Next manifest sequence. Derived from the manifest DIRECTORY, not
+    just the current pointer: _publish writes manifest and pointer in
+    two atomic steps, so a crash between them (or a deleted pointer)
+    leaves manifests on disk with no ``current`` — a pointer-derived
+    sequence would then overwrite v1.json (commit) or crash
+    (rollback)."""
+    manifests = history(root)
+    if manifests:
+        return manifests[-1]["sequence"] + 1
+    return (parent["sequence"] + 1) if parent else 1
+
+
 def _rel_files(root: str, write_dir: str) -> list[str]:
     out = []
     data_root = _data_dir(root)
@@ -130,7 +143,7 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode {mode!r}")
     parent = current_snapshot(root)
-    seq = (parent["sequence"] + 1) if parent else 1
+    seq = _next_sequence(root, parent)
     write_dir = os.path.join(_data_dir(root), f"c{seq}_{uuid.uuid4().hex}")
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -182,7 +195,7 @@ def rollback(root: str, snapshot_id: str) -> dict:
     rollback itself is a recorded operation)."""
     target = _resolve(root, snapshot_id)
     parent = current_snapshot(root)
-    seq = parent["sequence"] + 1
+    seq = _next_sequence(root, parent)
     manifest = {
         "snapshot_id": _snapshot_id(target["files"],
                                     parent and parent["snapshot_id"], seq),

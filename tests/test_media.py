@@ -427,3 +427,34 @@ def test_prop_jpeg_roundtrip_shape_and_nearlossless(w, h, mid):
     assert (dw, dh) == (w, h) and len(out) == w * h * 3
     dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(dec - rgb.astype(int)).max() <= 3
+
+
+def test_jpeg_decoder_truncated_segments_raise_valueerror():
+    """Code-review r5: truncated SOS/DHT/SOF segments raised IndexError/
+    struct.error — outside the documented ValueError contract and the
+    error-as-row catch list. Each must raise ValueError."""
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    for payload in (
+            b"\xff\xd8\xff\xda\x00\x04\x03\x01",      # SOS comp list cut
+            b"\xff\xd8\xff\xc4\x00\x06\x00\x01\x02\x03",  # DHT counts cut
+            b"\xff\xd8\xff\xc0\x00\x05\x08\x00",      # SOF0 header cut
+            b"\xff\xd8\xff",                          # marker byte cut
+    ):
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(payload)
+
+
+def test_jpeg_decoder_rejects_noninterleaved_scans():
+    """A baseline JPEG whose first SOS covers fewer components than the
+    frame declares (spec-legal non-interleaved scans) must raise, not
+    silently decode luma-only with zero chroma planes."""
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    base = make_jpeg(8, 8, 1)
+    sos_at = base.find(b"\xff\xda")
+    assert sos_at > 0
+    # rewrite SOS to a single-component (Y) scan header
+    one_comp_sos = (b"\xff\xda" + struct.pack(">H", 8)
+                    + b"\x01" + bytes((1, 0x00)) + b"\x00\x3f\x00")
+    spliced = base[:sos_at] + one_comp_sos + base[sos_at + 14:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_baseline_jpeg(spliced)

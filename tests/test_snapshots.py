@@ -136,3 +136,20 @@ def test_pipeline_output_snapshot_roundtrip(spark, tsmall_path):
     assert S.read(spark, out).count() == n_heads
     assert S.read(spark, out, s1["snapshot_id"]).count() == n
     assert S.history(out)[-1]["snapshot_id"] == s2["snapshot_id"]
+
+
+def test_lost_current_pointer_recovers(spark, root):
+    """Code-review r5: _publish writes manifest and pointer in two
+    atomic steps; a crash between them leaves manifests with no
+    current. commit() must not overwrite the orphaned manifest's
+    sequence, and rollback() must not crash on the None parent."""
+    s1 = S.commit(_df(spark, 0, 5, 0), root)
+    os.remove(os.path.join(root, "_snapshots", "current"))
+    s2 = S.commit(_df(spark, 5, 9, 0), root)
+    assert s2["sequence"] == s1["sequence"] + 1      # no v1.json clobber
+    assert len(S.history(root)) == 2
+    assert S.read(spark, root, s1["snapshot_id"]).count() == 5
+    os.remove(os.path.join(root, "_snapshots", "current"))
+    s3 = S.rollback(root, s1["snapshot_id"])
+    assert s3["sequence"] == s2["sequence"] + 1
+    assert S.read(spark, root).count() == 5

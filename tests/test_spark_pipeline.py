@@ -219,3 +219,19 @@ def test_string_payload_crosses_arrow_boundary_as_binary(spark, tsmall_path):
                lambda: run_pipeline_dedup(df, with_markdown=False)):
         plan = mk()._jdf.queryExecution().executedPlan().toString()
         assert "encode(" in plan or "Encode.encode" in plan, plan
+
+
+def test_staged_pipeline_quarantines_non_latin1_payload(spark):
+    """Code-review r5: the staged extract path must keep its per-row
+    quarantine for payloads that cannot carry latin-1 bytes (the encode
+    runs inside _extract_batch's try) — a JVM-side encode would fail the
+    whole job on one bad row."""
+    from pdf_inspector_spark.corpus import corpus_payloads
+    from pdf_inspector_spark.pipeline import run_pipeline_staged
+    good = corpus_payloads()["tj_basic"].decode("latin-1")
+    rows = [("c-0", 0, good), ("c-0", 1, "bad€ payload" + good)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["turn_idx"]: r
+           for r in run_pipeline_staged(df, with_markdown=False).collect()}
+    assert out[0]["text_out"] is not None
+    assert out[1]["error_kind"] == "UnicodeEncodeError"

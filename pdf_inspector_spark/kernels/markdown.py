@@ -199,9 +199,19 @@ _MONO_PATTERNS = ("courier", "consolas", "monaco", "menlo", "mono", "fixed",
                   "liberation mono")
 
 
+_MONO_MEMO: dict[str, bool] = {}
+
+
 def is_monospace_font(font_name: str) -> bool:
-    lower = font_name.lower()
-    return any(p in lower for p in _MONO_PATTERNS)
+    # Pure predicate over the font name; names repeat per line item, so a
+    # bounded memo removes the 14-substring scan from the per-item path.
+    hit = _MONO_MEMO.get(font_name)
+    if hit is None:
+        lower = font_name.lower()
+        hit = any(p in lower for p in _MONO_PATTERNS)
+        if len(_MONO_MEMO) < 4096:
+            _MONO_MEMO[font_name] = hit
+    return hit
 
 
 # -- structural merges (src/markdown.rs:901-1027) --------------------------

@@ -17,9 +17,11 @@ decodes pixels either).
 The pixel-decode path (``decode_image``/``decode_and_resize``) is real
 for ALL image formats in the table: PNG (zlib inflate + full
 filter-type-0..4 reconstruction), BMP, PPM, and baseline JPEG (full
-Huffman → dequantize → IDCT → YCbCr→RGB decode). Only video frame
-sampling still surfaces MediaCodecUnavailable (the ffmpeg drop-in
-point).
+Huffman → dequantize → IDCT → YCbCr→RGB decode). Video frame sampling
+(``sample_frames``) is real for MJPEG-in-AVI (movi chunk walk + per-
+frame JPEG decode); only mp4 — whose mdat carries no self-describing
+frames — still surfaces MediaCodecUnavailable, as an error row (the
+ffmpeg drop-in point).
 
 The synthetic media table is deterministic (seeded from ids) so tests
 and oracles are stable:
@@ -61,7 +63,8 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 _KINDS = (("image", "png"), ("image", "jpeg"), ("image", "bmp"),
-          ("image", "ppm"), ("audio", "wav"), ("video", "mp4"))
+          ("image", "ppm"), ("audio", "wav"), ("video", "mp4"),
+          ("video", "avi"))
 
 WAV_RATE = 8000  # Hz, 8-bit mono — keeps synthetic payloads small
 
@@ -138,6 +141,84 @@ def make_jpeg(width: int, height: int, media_id: int) -> bytes:
     return encode_baseline_jpeg(rgb, width, height, quant_scale=1.0)
 
 
+def make_avi(width: int, height: int, n_frames: int, fps: int,
+             media_id: int) -> bytes:
+    """REAL MJPEG-in-AVI (since r5): RIFF('AVI ') with a spec-correct
+    hdrl (avih + strl{strh 'vids'/'MJPG' + strf BITMAPINFOHEADER}), a
+    movi LIST of ``00dc`` chunks each holding a REAL baseline JPEG frame
+    (pdf_inspector_spark.jpeg, deterministic per (media_id, frame)), and
+    an idx1 index. The fixed-size header layout puts avih fields at
+    constant offsets (usec/frame @32, total frames @48, width @64,
+    height @68, biBitCount @186) so the hex-offset SQL oracle can mirror
+    the Python parser's real chunk walk."""
+    from .jpeg import encode_baseline_jpeg
+    usec = 1_000_000 // fps
+    frames = []
+    for f in range(n_frames):
+        rgb = _payload_for(media_id * 1009 + f, width * height * 3)
+        frames.append(encode_baseline_jpeg(rgb, width, height,
+                                           quant_scale=1.0))
+    max_frame = max(len(f) for f in frames)
+
+    avih = struct.pack("<IIIIIIIIII", usec, 0, 0, 0x10, n_frames, 0, 1,
+                       max_frame, width, height) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, fps, 0, n_frames,
+                                            max_frame, 0, 0)
+            + struct.pack("<HHHH", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) \
+        + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) \
+        + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+
+    movi_chunks = b""
+    idx_entries = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        off = 4 + len(movi_chunks)
+        chunk = b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            chunk += b"\x00"  # RIFF chunks are word-aligned
+        movi_chunks += chunk
+        idx_entries += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + b"movi" \
+        + movi_chunks
+    idx1 = b"idx1" + struct.pack("<I", len(idx_entries)) + idx_entries
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def extract_avi_frames(payload: bytes) -> list[bytes]:
+    """Real movi-LIST walk: collect the ``00dc``/``01dc``…compressed
+    video chunk payloads in stream order. Raises ValueError on a
+    non-AVI/torn container (the error-as-row boundary catches it)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frames: list[bytes] = []
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if tag == b"LIST" and payload[pos + 8:pos + 12] == b"movi":
+            inner = pos + 12
+            list_end = min(end, pos + 8 + size)
+            while inner + 8 <= list_end:
+                ctag = payload[inner:inner + 4]
+                csize = struct.unpack("<I", payload[inner + 4:inner + 8])[0]
+                if inner + 8 + csize > list_end:
+                    raise ValueError("torn movi chunk")
+                if ctag[2:4] == b"dc":
+                    frames.append(payload[inner + 8:inner + 8 + csize])
+                inner += 8 + csize + (csize % 2)
+        pos += 8 + size + (size % 2)
+    return frames
+
+
 def make_wav(duration_ms: int, media_id: int, rate: int = WAV_RATE) -> bytes:
     """Canonical 44-byte-header RIFF/WAVE, PCM 8-bit mono."""
     n = rate * duration_ms // 1000
@@ -191,6 +272,8 @@ def parse_media_header(payload: bytes, fmt: str) -> dict:
             return _parse_wav_header(payload) or none
         if fmt == "mp4":
             return _parse_mp4_header(payload) or none
+        if fmt == "avi":
+            return _parse_avi_header(payload) or none
     except Exception:  # noqa: BLE001 — corrupt header → None row
         return none
     return none
@@ -311,26 +394,71 @@ def _parse_mp4_header(p: bytes):
     return None
 
 
+def _parse_avi_header(p: bytes):
+    """Real RIFF chunk walk: hdrl→avih for frame timing/count/dims,
+    hdrl→strl→strf for the stored bit depth."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    usec = frames = w = h = depth = None
+    pos = 12
+    while pos + 8 <= len(p):
+        tag = p[pos:pos + 4]
+        size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+        if tag == b"LIST" and p[pos + 8:pos + 12] == b"hdrl":
+            inner = pos + 12
+            list_end = min(len(p), pos + 8 + size)
+            while inner + 8 <= list_end:
+                itag = p[inner:inner + 4]
+                isize = struct.unpack("<I", p[inner + 4:inner + 8])[0]
+                if itag == b"avih" and isize >= 40:
+                    (usec, _, _, _, frames, _, _, _, w, h) = struct.unpack(
+                        "<IIIIIIIIII", p[inner + 8:inner + 48])
+                elif (itag == b"LIST"
+                      and p[inner + 8:inner + 12] == b"strl"):
+                    s = inner + 12
+                    strl_end = min(list_end, inner + 8 + isize)
+                    while s + 8 <= strl_end:
+                        stag = p[s:s + 4]
+                        ssize = struct.unpack("<I", p[s + 4:s + 8])[0]
+                        if stag == b"strf" and ssize >= 16:
+                            depth = struct.unpack("<H", p[s + 22:s + 24])[0]
+                        s += 8 + ssize + (ssize % 2)
+                inner += 8 + isize + (isize % 2)
+            break
+        pos += 8 + size + (size % 2)
+    if usec is None or frames is None:
+        return None
+    return {"decoded_width": int(w), "decoded_height": int(h),
+            "bit_depth": int(depth) if depth is not None else None,
+            "decoded_duration_ms": usec * frames // 1000}
+
+
 # -- synthetic media table ---------------------------------------------------
 
 
 def _media_row(i: int) -> dict:
     h = int.from_bytes(hashlib.md5(f"m{i}".encode()).digest()[:8], "big")
     kind, fmt = _KINDS[h % len(_KINDS)]
-    w = 4 + (h >> 8) % 16 if kind == "image" else 0
-    hgt = 4 + (h >> 18) % 16 if kind == "image" else 0
+    w = 4 + (h >> 8) % 16 if kind in ("image",) or fmt == "avi" else 0
+    hgt = 4 + (h >> 18) % 16 if kind in ("image",) or fmt == "avi" else 0
     dur = 0
     if fmt == "wav":
         # quantized to whole samples at 8 kHz so metadata == decoded
         dur = (WAV_RATE * (50 + (h >> 28) % 400) // 1000) * 1000 // WAV_RATE
     elif fmt == "mp4":
         dur = 1000 + (h >> 26) % 600_000
+    elif fmt == "avi":
+        fps = 4 + (h >> 24) % 27          # 4..30 fps
+        n_frames = 3 + (h >> 30) % 6      # 3..8 MJPEG frames
+        dur = (1_000_000 // fps) * n_frames // 1000
     builder = {"png": make_png, "bmp": make_bmp, "ppm": make_ppm,
                "jpeg": make_jpeg}
     if kind == "image":
         payload = builder[fmt](w, hgt, i)
     elif fmt == "wav":
         payload = make_wav(dur, i)
+    elif fmt == "avi":
+        payload = make_avi(w, hgt, n_frames, fps, i)
     else:
         payload = make_mp4(dur, i)
     return {"media_id": i, "kind": kind, "fmt": fmt, "payload": payload,
@@ -340,8 +468,8 @@ def _media_row(i: int) -> dict:
 
 def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
                 force: bool = False) -> str:
-    # v3: JPEG payloads carry real entropy-coded scans (see docstring)
-    path = os.path.join(data_dir, f"media_{n_rows}_v3.parquet")
+    # v4: adds MJPEG-in-AVI video rows with real sampleable frames
+    path = os.path.join(data_dir, f"media_{n_rows}_v4.parquet")
     if os.path.exists(path) and not force:
         return path
     os.makedirs(data_dir, exist_ok=True)
@@ -575,22 +703,52 @@ def decode_and_resize(df: DataFrame, out_w: int = 224,
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — pure stub: raises MediaCodecUnavailable at
-    executor time, demonstrating the error surface for missing codecs."""
+    """Video frame sampling — REAL for MJPEG/AVI (since r5): walk the
+    movi LIST, pick every ⌈every_ms / frame_duration⌉-th frame, decode
+    each sampled JPEG (full entropy decode) and emit the frame bytes +
+    decoded dims. Error-as-row throughout: a torn container or an
+    unsupported codec (mp4's mdat carries no self-describing frames —
+    the genuine ffmpeg boundary) yields one NULL-frame row with
+    ``error_kind`` set, never a stage failure."""
     frame_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
+        T.StructField("error_kind", T.StringType()),
     ])
+    cols = [f.name for f in frame_schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_baseline_jpeg
         for pdf in batches:
-            if len(pdf):
-                raise MediaCodecUnavailable(
-                    "video frame sampling requires ffmpeg; not available "
-                    "in this environment")
-            yield pd.DataFrame([], columns=[f.name for f in frame_schema.fields])
+            rows = []
+            for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"],
+                                         pdf["payload"]):
+                mid = int(mid)
+                if fmt != "avi":
+                    rows.append((mid, None, None, None, None,
+                                 "MediaCodecUnavailable"))
+                    continue
+                try:
+                    payload = bytes(payload)
+                    hdr = _parse_avi_header(payload)
+                    frames = extract_avi_frames(payload)
+                    if hdr is None or not frames:
+                        raise ValueError("no parsable AVI header/frames")
+                    frame_ms = (hdr["decoded_duration_ms"]
+                                / max(len(frames), 1))
+                    step = max(1, int(every_ms // max(frame_ms, 1e-9)))
+                    for idx in range(0, len(frames), step):
+                        fw, fh, _rgb = decode_baseline_jpeg(frames[idx])
+                        rows.append((mid, idx, fw, fh, frames[idx], None))
+                except (MediaCodecUnavailable, ValueError, zlib.error,
+                        struct.error, TypeError, IndexError) as exc:
+                    rows.append((mid, None, None, None, None,
+                                 type(exc).__name__))
+            yield pd.DataFrame(rows, columns=cols)
 
     return (df.where(df.kind == "video")
-            .select("media_id", "payload")
+            .select("media_id", "fmt", "payload")
             .mapInPandas(gen, frame_schema))

@@ -61,6 +61,8 @@ def _le(byte_off: int, n_bytes: int) -> str:
 #   WAV  canonical 44-byte header: byte_rate LE@28, bits LE@34,
 #        data size LE@40 → duration_ms = data*1000//byte_rate
 #   MP4  ftyp(16) + moov + mvhd v0: timescale BE@44, duration BE@48
+#   AVI  RIFF(12)+LIST hdrl(12)+avih(8): usec/frame LE@32, frames LE@48,
+#        width LE@64, height LE@68; strf BITMAPINFOHEADER biBitCount LE@186
 #   PPM  ASCII header (payload generated UTF-8-safe) via regexp
 _DEC_W = f"""CASE fmt
     WHEN 'png'  THEN {_be(16, 4)}
@@ -68,6 +70,7 @@ _DEC_W = f"""CASE fmt
     WHEN 'jpeg' THEN {_be(27, 2)}
     WHEN 'ppm'  THEN regexp_extract(decode(payload),
                      '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 1)::BIGINT
+    WHEN 'avi'  THEN {_le(64, 4)}
     ELSE NULL END"""
 
 _DEC_H = f"""CASE fmt
@@ -78,6 +81,7 @@ _DEC_H = f"""CASE fmt
     WHEN 'jpeg' THEN {_be(25, 2)}
     WHEN 'ppm'  THEN regexp_extract(decode(payload),
                      '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 2)::BIGINT
+    WHEN 'avi'  THEN {_le(68, 4)}
     ELSE NULL END"""
 
 _DEC_DEPTH = f"""CASE fmt
@@ -88,11 +92,13 @@ _DEC_DEPTH = f"""CASE fmt
     WHEN 'ppm'  THEN CAST(floor(log2(regexp_extract(decode(payload),
                      '^P6\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s', 3)::DOUBLE))
                      AS BIGINT) + 1
+    WHEN 'avi'  THEN {_le(186, 2)}
     ELSE NULL END"""
 
 _DEC_DUR = f"""CASE fmt
     WHEN 'wav' THEN ({_le(40, 4)} * 1000) // {_le(28, 4)}
     WHEN 'mp4' THEN ({_be(48, 4)} * 1000) // {_be(44, 4)}
+    WHEN 'avi' THEN ({_le(32, 4)} * {_le(48, 4)}) // 1000
     ELSE NULL END"""
 
 # Oracle for the mapInPandas feature stage: byte histogram from the hex
@@ -144,14 +150,14 @@ def _register() -> None:
     import os
 
     from ..transcripts import DATA_DIR
-    path = os.path.join(DATA_DIR, "media_2000_v3.parquet")  # written on demand
+    path = os.path.join(DATA_DIR, "media_2000_v4.parquet")  # written on demand
     src = f"read_parquet('{path}')"
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),
              "mapInPandas media feature extraction (byte stats, entropy, "
              "content hash) + REAL header decode of width/height/bit-depth/"
-             "duration from valid PNG/BMP/PPM/JPEG/WAV/MP4 container bytes "
-             "vs hex-offset DuckDB oracle (bit-exact entropy)")
+             "duration from valid PNG/BMP/PPM/JPEG/WAV/MP4/AVI container "
+             "bytes vs hex-offset DuckDB oracle (bit-exact entropy)")
 
 
 _register()

@@ -1,7 +1,8 @@
 """Multimodal tests: real container-format generators, real header
 decode, real PNG/BMP/PPM/JPEG pixel decode (baseline JPEG codec since
-r5 — pdf_inspector_spark/jpeg.py), and the mapInPandas plumbing. Only
-video frame sampling remains a codec boundary (ffmpeg)."""
+r5 — pdf_inspector_spark/jpeg.py), real MJPEG/AVI frame sampling, and
+the mapInPandas plumbing. Only mp4 frame decode remains a codec
+boundary (ffmpeg) — surfaced as an error row."""
 
 import hashlib
 import math
@@ -12,12 +13,13 @@ import pytest
 
 from pdf_inspector_spark.media import (DECODABLE_FORMATS,
                                        MediaCodecUnavailable, _payload_for,
-                                       decode_and_resize, decode_image,
-                                       make_bmp, make_jpeg, make_mp4,
-                                       make_png, make_ppm, make_wav,
-                                       media_features, parse_media_header,
-                                       resize_nearest, sample_frames,
-                                       write_media)
+                                       _parse_avi_header, decode_and_resize,
+                                       decode_image, extract_avi_frames,
+                                       make_avi, make_bmp, make_jpeg,
+                                       make_mp4, make_png, make_ppm,
+                                       make_wav, media_features,
+                                       parse_media_header, resize_nearest,
+                                       sample_frames, write_media)
 
 
 @pytest.fixture(scope="module")
@@ -264,13 +266,72 @@ def test_decode_resize_shape_contract(spark, media_df):
     assert n_real > 0
 
 
-def test_frame_sampling_codec_stub_raises(spark, media_df):
-    """The video path surfaces MediaCodecUnavailable at executor time —
-    the documented drop-in point for ffmpeg."""
-    with pytest.raises(Exception) as exc_info:
-        sample_frames(media_df).collect()
-    assert "MediaCodecUnavailable" in str(exc_info.value) \
-        or "frame sampling requires ffmpeg" in str(exc_info.value)
+def test_avi_header_golden():
+    p = make_avi(12, 9, 5, 20, 7)
+    hdr = parse_media_header(p, "avi")
+    assert (hdr["decoded_width"], hdr["decoded_height"],
+            hdr["bit_depth"]) == (12, 9, 24)
+    assert hdr["decoded_duration_ms"] == (1_000_000 // 20) * 5 // 1000
+
+
+def test_avi_frames_roundtrip():
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    p = make_avi(8, 6, 4, 10, 42)
+    frames = extract_avi_frames(p)
+    assert len(frames) == 4
+    for f in frames:
+        w, h, rgb = decode_baseline_jpeg(f)
+        assert (w, h, len(rgb)) == (8, 6, 8 * 6 * 3)
+    # frames differ (per-frame seeded pixels)
+    assert len({f for f in frames}) == 4
+
+
+def test_avi_oracle_offsets_match_walk():
+    """The hex-offset SQL oracle reads fixed header offsets; certify
+    they equal the Python parser's real chunk walk."""
+    p = make_avi(15, 11, 6, 8, 3)
+    hdr = _parse_avi_header(p)
+    usec = struct.unpack("<I", p[32:36])[0]
+    frames = struct.unpack("<I", p[48:52])[0]
+    assert struct.unpack("<I", p[64:68])[0] == hdr["decoded_width"] == 15
+    assert struct.unpack("<I", p[68:72])[0] == hdr["decoded_height"] == 11
+    assert struct.unpack("<H", p[186:188])[0] == hdr["bit_depth"] == 24
+    assert usec * frames // 1000 == hdr["decoded_duration_ms"]
+
+
+def test_avi_extract_frames_torn_container_raises():
+    p = bytearray(make_avi(8, 6, 3, 10, 1))
+    with pytest.raises(ValueError):
+        extract_avi_frames(bytes(p[:20]) if p[:4] == b"RIFX" else b"junk")
+    # torn movi chunk: truncate inside the frame list
+    with pytest.raises(ValueError):
+        extract_avi_frames(bytes(p[:250]))
+
+
+def test_frame_sampling_real_avi_and_mp4_error_row(spark, media_df):
+    """sample_frames emits real decoded MJPEG frames for AVI rows and an
+    error-as-row (MediaCodecUnavailable) for mp4 — never a stage
+    failure."""
+    out = sample_frames(media_df, every_ms=1).collect()
+    fmt_by_id = {r["media_id"]: r["fmt"]
+                 for r in media_df.select("media_id", "fmt").collect()}
+    avi_rows = [r for r in out if fmt_by_id[r["media_id"]] == "avi"]
+    mp4_rows = [r for r in out if fmt_by_id[r["media_id"]] == "mp4"]
+    assert avi_rows and mp4_rows
+    for r in mp4_rows:
+        assert r["error_kind"] == "MediaCodecUnavailable"
+        assert r["frame"] is None
+    ok = [r for r in avi_rows if r["error_kind"] is None]
+    assert ok, "expected at least one decodable AVI frame row"
+    for r in ok:
+        assert r["frame"][:2] == bytes([0xFF, 0xD8])  # SOI
+        assert r["frame_w"] > 0 and r["frame_h"] > 0
+    # every_ms=1 with >=4ms frames → step 1 → all frames sampled
+    by_id: dict[int, list] = {}
+    for r in ok:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_id.items():
+        assert sorted(idxs) == list(range(len(idxs)))
 
 
 def test_payload_generator_is_pure():

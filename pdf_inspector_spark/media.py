@@ -33,6 +33,7 @@ and oracles are stable:
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 import struct
 import zlib
@@ -192,19 +193,57 @@ def make_avi(width: int, height: int, n_frames: int, fps: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _vids_stream_prefix(payload: bytes) -> bytes | None:
+    """Two-digit chunk-id prefix (``b"00"``…) of the FIRST video stream:
+    the ordinal of the strl whose strh fccType is 'vids' among all strl
+    lists, per the AVI stream-numbering rule. None when no hdrl/vids
+    stream is findable (torn or headerless container)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if tag == b"LIST" and payload[pos + 8:pos + 12] == b"hdrl":
+            inner = pos + 12
+            list_end = min(len(payload), pos + 8 + size)
+            stream_no = 0
+            while inner + 8 <= list_end:
+                itag = payload[inner:inner + 4]
+                isize = struct.unpack("<I", payload[inner + 4:inner + 8])[0]
+                if itag == b"LIST" and payload[inner + 8:inner + 12] == b"strl":
+                    s = inner + 12
+                    if (s + 8 <= list_end and payload[s:s + 4] == b"strh"
+                            and payload[s + 8:s + 12] == b"vids"):
+                        return b"%02d" % stream_no
+                    stream_no += 1
+                inner += 8 + isize + (isize % 2)
+            return None
+        pos += 8 + size + (size % 2)
+    return None
+
+
 def extract_avi_frames(payload: bytes) -> list[bytes]:
-    """Real movi-LIST walk: collect the ``00dc``/``01dc``…compressed
-    video chunk payloads in stream order. Raises ValueError on a
-    non-AVI/torn container (the error-as-row boundary catches it)."""
+    """Real movi-LIST walk: collect the compressed ``NNdc`` chunk
+    payloads of the VIDEO stream (NN = the 'vids' strl's ordinal from
+    the hdrl walk) in stream order, so a second compressed stream —
+    e.g. subtitles or a second video track — cannot interleave its
+    chunks into the frame sequence. Falls back to accepting every
+    ``??dc`` chunk when no hdrl/vids header is findable. Raises
+    ValueError on a non-AVI/torn container (the error-as-row boundary
+    catches it)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
+    prefix = _vids_stream_prefix(payload)
     frames: list[bytes] = []
+    found_movi = False
     pos = 12
     end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     while pos + 8 <= end:
         tag = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         if tag == b"LIST" and payload[pos + 8:pos + 12] == b"movi":
+            found_movi = True
             inner = pos + 12
             list_end = min(end, pos + 8 + size)
             while inner + 8 <= list_end:
@@ -212,10 +251,13 @@ def extract_avi_frames(payload: bytes) -> list[bytes]:
                 csize = struct.unpack("<I", payload[inner + 4:inner + 8])[0]
                 if inner + 8 + csize > list_end:
                     raise ValueError("torn movi chunk")
-                if ctag[2:4] == b"dc":
+                if ctag[2:4] == b"dc" and (prefix is None
+                                           or ctag[:2] == prefix):
                     frames.append(payload[inner + 8:inner + 8 + csize])
                 inner += 8 + csize + (csize % 2)
         pos += 8 + size + (size % 2)
+    if not found_movi:
+        raise ValueError("no movi LIST (truncated AVI header?)")
     return frames
 
 
@@ -415,12 +457,21 @@ def _parse_avi_header(p: bytes):
                         "<IIIIIIIIII", p[inner + 8:inner + 48])
                 elif (itag == b"LIST"
                       and p[inner + 8:inner + 12] == b"strl"):
+                    # biBitCount must come from the VIDEO stream's strf:
+                    # an strl whose strh is 'auds' carries WAVEFORMATEX,
+                    # where offset 14 is bogus as a bit depth. Track the
+                    # preceding strh's fccType and stop at the first
+                    # video stream.
                     s = inner + 12
                     strl_end = min(list_end, inner + 8 + isize)
+                    cur_vids = False
                     while s + 8 <= strl_end:
                         stag = p[s:s + 4]
                         ssize = struct.unpack("<I", p[s + 4:s + 8])[0]
-                        if stag == b"strf" and ssize >= 16:
+                        if stag == b"strh" and ssize >= 4:
+                            cur_vids = p[s + 8:s + 12] == b"vids"
+                        elif (stag == b"strf" and ssize >= 16
+                              and cur_vids and depth is None):
                             depth = struct.unpack("<H", p[s + 22:s + 24])[0]
                         s += 8 + ssize + (ssize % 2)
                 inner += 8 + isize + (isize % 2)
@@ -672,9 +723,11 @@ def resize_nearest(rgb: bytes, w: int, h: int, out_w: int,
 
 def decode_and_resize(df: DataFrame, out_w: int = 224,
                       out_h: int = 224) -> DataFrame:
-    """Image decode + nearest-neighbor resize stage. PNG/BMP/PPM decode
-    for real (stdlib zlib + numpy); JPEG rows yield a NULL pixel row —
-    error-as-row at the codec boundary, never a stage failure."""
+    """Image decode + nearest-neighbor resize stage. PNG/BMP/PPM/JPEG
+    all decode for real (stdlib zlib + numpy; baseline JPEG via
+    pdf_inspector_spark.jpeg). Corrupt/truncated payloads and formats
+    needing an external codec yield a NULL pixel row — error-as-row at
+    the codec boundary, never a stage failure."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -739,7 +792,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         raise ValueError("no parsable AVI header/frames")
                     frame_ms = (hdr["decoded_duration_ms"]
                                 / max(len(frames), 1))
-                    step = max(1, int(every_ms // max(frame_ms, 1e-9)))
+                    # ceil: consecutive samples are >= every_ms apart
+                    # (floor would sample MORE often than asked — e.g.
+                    # every_ms=1000 over 300ms frames must step 4, not 3).
+                    step = max(1, math.ceil(every_ms / max(frame_ms, 1e-9)))
                     for idx in range(0, len(frames), step):
                         fw, fh, _rgb = decode_baseline_jpeg(frames[idx])
                         rows.append((mid, idx, fw, fh, frames[idx], None))

@@ -302,10 +302,97 @@ def test_avi_oracle_offsets_match_walk():
 def test_avi_extract_frames_torn_container_raises():
     p = bytearray(make_avi(8, 6, 3, 10, 1))
     with pytest.raises(ValueError):
-        extract_avi_frames(bytes(p[:20]) if p[:4] == b"RIFX" else b"junk")
+        extract_avi_frames(b"junk")  # not RIFF at all
+    with pytest.raises(ValueError):
+        extract_avi_frames(bytes(p[:20]))  # truncated header
     # torn movi chunk: truncate inside the frame list
     with pytest.raises(ValueError):
         extract_avi_frames(bytes(p[:250]))
+
+
+def _splice_strl(avi: bytes, strl: bytes, before_video: bool) -> bytes:
+    """Insert an extra strl LIST into make_avi output's hdrl, before or
+    after the existing video strl, fixing up the RIFF/hdrl sizes."""
+    hdrl_pos = avi.index(b"hdrl") - 8
+    hdrl_size = struct.unpack("<I", avi[hdrl_pos + 4:hdrl_pos + 8])[0]
+    vids_strl = avi.index(b"strl", hdrl_pos)
+    insert_at = vids_strl - 8 if before_video else hdrl_pos + 8 + hdrl_size
+    out = bytearray(avi[:insert_at] + strl + avi[insert_at:])
+    out[hdrl_pos + 4:hdrl_pos + 8] = struct.pack("<I", hdrl_size + len(strl))
+    out[4:8] = struct.pack("<I", struct.unpack("<I", bytes(out[4:8]))[0]
+                           + len(strl))
+    return bytes(out)
+
+
+def _auds_strl() -> bytes:
+    """An audio strl: strh 'auds' + a WAVEFORMATEX-shaped strf whose
+    bytes at offset 14 (where BITMAPINFOHEADER keeps biBitCount) are a
+    deliberately bogus value, so a parser that reads bit depth from a
+    non-video strf is caught."""
+    strh = (b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 8000, 0, 8000,
+                          1, 0, 0) + struct.pack("<HHHH", 0, 0, 0, 0))
+    strf = struct.pack("<HHIIHHHH", 1, 1, 8000, 8000, 1, 0xBEEF, 0, 0)
+    return (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+
+
+def test_avi_header_bit_depth_ignores_audio_strf():
+    """bit_depth comes from the 'vids' strf only: an audio stream after
+    (or before) the video stream must not clobber it with WAVEFORMATEX
+    bytes (ADVICE r5)."""
+    base = make_avi(8, 6, 3, 10, 2)
+    for before in (False, True):
+        p = _splice_strl(base, _auds_strl(), before_video=before)
+        hdr = _parse_avi_header(p)
+        assert hdr["bit_depth"] == 24, f"before_video={before}"
+        assert hdr["decoded_width"] == 8 and hdr["decoded_height"] == 6
+
+
+def test_avi_extract_frames_filters_video_stream_chunks():
+    """A second compressed stream's NNdc chunks must not interleave into
+    the video frame sequence (ADVICE r5). Audio-first layout renumbers
+    the video stream to 01, so its chunks are 01dc and stray 00dc
+    chunks belong to the other stream."""
+    base = make_avi(8, 6, 3, 10, 2)
+    n_base = len(extract_avi_frames(base))
+    p = _splice_strl(base, _auds_strl(), before_video=True)
+    # video is now stream 1: relabel its movi chunks 00dc -> 01dc and
+    # inject a stray 00dc chunk (not a JPEG) at the front of movi.
+    movi = p.index(b"movi")
+    body = bytearray(p)
+    i = movi
+    while True:
+        i = body.find(b"00dc", i)
+        if i < 0:
+            break
+        body[i:i + 2] = b"01"
+        i += 4
+    stray = b"00dc" + struct.pack("<I", 4) + b"XXXX"
+    body[movi + 4:movi + 4] = stray
+    movi_list = movi - 8
+    for pos in (movi_list + 4, 4):  # movi LIST size, RIFF size
+        body[pos:pos + 4] = struct.pack(
+            "<I", struct.unpack("<I", bytes(body[pos:pos + 4]))[0]
+            + len(stray))
+    frames = extract_avi_frames(bytes(body))
+    assert len(frames) == n_base
+    for f in frames:
+        assert f[:2] == b"\xff\xd8"  # all sampled from the video stream
+
+
+def test_frame_sampling_step_is_ceil(spark):
+    """Consecutive samples must be >= every_ms apart: 12 frames at
+    100ms with every_ms=250 → step ceil(2.5)=3 → indices 0,3,6,9.
+    (Floor would step 2 and sample more often than asked — ADVICE r5.)"""
+    p = make_avi(8, 6, 12, 10, 5)  # fps=10 → 100ms/frame
+    df = spark.createDataFrame(
+        [(1, "video", "avi", bytearray(p))],
+        "media_id long, kind string, fmt string, payload binary")
+    rows = sample_frames(df, every_ms=250).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3, 6, 9]
+    assert all(r["error_kind"] is None for r in rows)
 
 
 def test_frame_sampling_real_avi_and_mp4_error_row(spark, media_df):

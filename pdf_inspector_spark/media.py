@@ -270,9 +270,23 @@ def make_wav(duration_ms: int, media_id: int, rate: int = WAV_RATE) -> bytes:
             + b"data" + struct.pack("<I", n) + data)
 
 
-def make_mp4(duration_ms: int, media_id: int) -> bytes:
-    """Minimal ISO-BMFF: ftyp + moov{mvhd v0 (timescale 1000, real
-    duration)} + mdat junk. Box sizes/offsets are spec-correct."""
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def make_mp4(duration_ms: int, media_id: int, n_frames: int = 0,
+             frame_w: int = 0, frame_h: int = 0) -> bytes:
+    """Minimal ISO-BMFF. With ``n_frames == 0`` (legacy layout):
+    ftyp + moov{mvhd v0 (timescale 1000, real duration)} + mdat junk —
+    the no-sample-table case that exercises the codec-boundary error
+    row. With ``n_frames > 0`` (since r6): the moov additionally carries
+    trak{tkhd, mdia{mdhd, hdlr 'vide', minf{vmhd, stbl{stsd 'jpeg',
+    stts, stsc, stsz, stco}}}} and mdat holds ``n_frames`` REAL
+    baseline JPEG frames (deterministic per (media_id, frame)), with
+    stco/stsz pointing at them — so frame sampling walks a real sample
+    table. mvhd stays at fixed offsets (timescale BE@44, duration
+    BE@48) for the hex-offset SQL oracle. Box sizes/offsets are
+    spec-correct."""
     ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
     mvhd_body = (b"\x00\x00\x00\x00"               # version 0 + flags
                  + struct.pack(">IIII", 0, 0, 1000, duration_ms)
@@ -283,11 +297,127 @@ def make_mp4(duration_ms: int, media_id: int) -> bytes:
                                0, 0, 0x40000000)   # identity matrix
                  + b"\x00" * 24                    # pre_defined
                  + struct.pack(">I", 2))           # next_track_ID
-    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
-    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
-    junk = _payload_for(media_id, 256 + (media_id * 37) % 1024)
-    mdat = struct.pack(">I", 8 + len(junk)) + b"mdat" + junk
-    return ftyp + moov + mdat
+    mvhd = _box(b"mvhd", mvhd_body)
+    if n_frames <= 0:
+        moov = _box(b"moov", mvhd)
+        junk = _payload_for(media_id, 256 + (media_id * 37) % 1024)
+        return ftyp + moov + _box(b"mdat", junk)
+
+    from .jpeg import encode_baseline_jpeg
+    frames = []
+    for f in range(n_frames):
+        rgb = _payload_for(media_id * 2003 + f, frame_w * frame_h * 3)
+        frames.append(encode_baseline_jpeg(rgb, frame_w, frame_h,
+                                           quant_scale=1.0))
+    delta = max(duration_ms // n_frames, 1)  # mdhd timescale 1000 = ms
+
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"       # v0, enabled+in movie
+                + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+                + b"\x00" * 8                      # reserved
+                + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/volume/res
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + struct.pack(">II", frame_w << 16, frame_h << 16))
+    mdhd = _box(b"mdhd", b"\x00\x00\x00\x00"
+                + struct.pack(">IIIIHH", 0, 0, 1000, duration_ms,
+                              0x55C4, 0))          # lang 'und'
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide"
+                + b"\x00" * 12 + b"\x00")
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + struct.pack(">HHHH",
+                                                           0, 0, 0, 0))
+    # VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3 shape)
+    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+             + struct.pack(">H", 1)                # data_reference_index
+             + b"\x00" * 16                        # pre_defined/reserved
+             + struct.pack(">HH", frame_w, frame_h)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + b"\x00" * 4 + struct.pack(">H", 1)  # frame_count 1
+             + b"\x00" * 32                        # compressorname
+             + struct.pack(">Hh", 24, -1))         # depth, pre_defined
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    stts = _box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1,
+                                                           n_frames, delta))
+    stsc = _box(b"stsc", b"\x00\x00\x00\x00" + struct.pack(">IIII", 1,
+                                                           1, 1, 1))
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0,
+                                                           n_frames)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    # stco carries absolute file offsets — fill after sizing the header.
+    stco_body = (b"\x00\x00\x00\x00" + struct.pack(">I", n_frames)
+                 + b"\x00" * (4 * n_frames))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + _box(b"stco",
+                                                          stco_body))
+    minf = _box(b"minf", vmhd + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    data_start = len(ftyp) + len(moov) + 8          # + mdat header
+    offsets, pos = [], data_start
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    out = bytearray(ftyp + moov + _box(b"mdat", b"".join(frames)))
+    stco_off = out.index(b"stco") + 4 + 8  # past fourcc, vf, entry_count
+    for i, off in enumerate(offsets):
+        out[stco_off + 4 * i:stco_off + 4 * (i + 1)] = struct.pack(">I", off)
+    return bytes(out)
+
+
+def _mp4_sample_table(p: bytes):
+    """Walk moov→trak→mdia→minf→stbl and return (codec_fourcc,
+    [(offset, size), ...]) from stsd/stsz/stco — the first video track's
+    sample table. None when the mp4 has no parsable sample table (the
+    legacy junk-mdat layout, or a torn file)."""
+    def children(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, tag = struct.unpack(">I4s", p[pos:pos + 8])
+            if size < 8 or pos + size > end:
+                return
+            yield tag, pos + 8, pos + size
+            pos += size
+
+    def find(tag: bytes, start: int, end: int):
+        for t, s, e in children(start, end):
+            if t == tag:
+                return s, e
+        return None
+
+    span = find(b"moov", 0, len(p))
+    if not span:
+        return None
+    for t, s, e in children(*span):
+        if t != b"trak":
+            continue
+        path = (s, e)
+        for tag in (b"mdia", b"minf", b"stbl"):
+            path = find(tag, *path)
+            if not path:
+                break
+        if not path:
+            continue
+        stbl_s, stbl_e = path
+        stsd = find(b"stsd", stbl_s, stbl_e)
+        stsz = find(b"stsz", stbl_s, stbl_e)
+        stco = find(b"stco", stbl_s, stbl_e)
+        if not (stsd and stsz and stco):
+            continue
+        codec = p[stsd[0] + 12:stsd[0] + 16]        # first entry fourcc
+        sample_size, count = struct.unpack(">II", p[stsz[0] + 4:stsz[0] + 12])
+        sizes = ([sample_size] * count if sample_size
+                 else [struct.unpack(">I", p[stsz[0] + 12 + 4 * i:
+                                             stsz[0] + 16 + 4 * i])[0]
+                       for i in range(count)])
+        n_off = struct.unpack(">I", p[stco[0] + 4:stco[0] + 8])[0]
+        if n_off != count:
+            return None
+        offs = [struct.unpack(">I", p[stco[0] + 8 + 4 * i:
+                                      stco[0] + 12 + 4 * i])[0]
+                for i in range(n_off)]
+        if any(o + sz > len(p) for o, sz in zip(offs, sizes)):
+            return None
+        return codec, list(zip(offs, sizes))
+    return None
 
 
 # -- real header parsing (no imaging libs) ----------------------------------
@@ -510,8 +640,14 @@ def _media_row(i: int) -> dict:
         payload = make_wav(dur, i)
     elif fmt == "avi":
         payload = make_avi(w, hgt, n_frames, fps, i)
-    else:
+    elif (h >> 16) % 4 == 0:
+        # legacy junk-mdat mp4 (no sample table): keeps the genuine
+        # external-codec boundary path exercised by the table itself
         payload = make_mp4(dur, i)
+    else:
+        payload = make_mp4(dur, i, n_frames=3 + (h >> 30) % 6,
+                           frame_w=4 + (h >> 8) % 16,
+                           frame_h=4 + (h >> 18) % 16)
     return {"media_id": i, "kind": kind, "fmt": fmt, "payload": payload,
             "width": w, "height": hgt, "duration_ms": dur,
             "ts": BASE_TS + timedelta(seconds=i * 37)}
@@ -519,8 +655,10 @@ def _media_row(i: int) -> dict:
 
 def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
                 force: bool = False) -> str:
-    # v4: adds MJPEG-in-AVI video rows with real sampleable frames
-    path = os.path.join(data_dir, f"media_{n_rows}_v4.parquet")
+    # v5: mp4 rows carry a real stbl (stsd/stsz/stco) with JPEG samples
+    # (~25% stay legacy junk-mdat to exercise the codec boundary);
+    # v4 added MJPEG-in-AVI video rows with real sampleable frames
+    path = os.path.join(data_dir, f"media_{n_rows}_v5.parquet")
     if os.path.exists(path) and not force:
         return path
     os.makedirs(data_dir, exist_ok=True)
@@ -780,18 +918,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, fmt, payload in zip(pdf["media_id"], pdf["fmt"],
                                          pdf["payload"]):
                 mid = int(mid)
-                if fmt != "avi":
+                if fmt not in ("avi", "mp4"):
                     rows.append((mid, None, None, None, None,
                                  "MediaCodecUnavailable"))
                     continue
                 try:
                     payload = bytes(payload)
-                    hdr = _parse_avi_header(payload)
-                    frames = extract_avi_frames(payload)
-                    if hdr is None or not frames:
-                        raise ValueError("no parsable AVI header/frames")
-                    frame_ms = (hdr["decoded_duration_ms"]
-                                / max(len(frames), 1))
+                    if fmt == "avi":
+                        hdr = _parse_avi_header(payload)
+                        frames = extract_avi_frames(payload)
+                        if hdr is None or not frames:
+                            raise ValueError("no parsable AVI header/frames")
+                        dur_ms = hdr["decoded_duration_ms"]
+                    else:
+                        # mp4: real stbl walk (stsd/stsz/stco). A sample
+                        # table whose codec isn't baseline JPEG — or no
+                        # sample table at all (legacy junk-mdat files) —
+                        # is the genuine external-codec boundary.
+                        tbl = _mp4_sample_table(payload)
+                        if tbl is None:
+                            raise MediaCodecUnavailable(
+                                "mp4 without a parsable sample table")
+                        codec, samples = tbl
+                        if codec != b"jpeg" or not samples:
+                            raise MediaCodecUnavailable(
+                                f"mp4 codec {codec!r} needs ffmpeg")
+                        frames = [payload[o:o + sz] for o, sz in samples]
+                        hdr = _parse_mp4_header(payload)
+                        dur_ms = (hdr["decoded_duration_ms"] if hdr
+                                  else len(frames))
+                    frame_ms = dur_ms / max(len(frames), 1)
                     # ceil: consecutive samples are >= every_ms apart
                     # (floor would sample MORE often than asked — e.g.
                     # every_ms=1000 over 300ms frames must step 4, not 3).

@@ -150,7 +150,7 @@ def _register() -> None:
     import os
 
     from ..transcripts import DATA_DIR
-    path = os.path.join(DATA_DIR, "media_2000_v4.parquet")  # written on demand
+    path = os.path.join(DATA_DIR, "media_2000_v5.parquet")  # written on demand
     src = f"read_parquet('{path}')"
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),

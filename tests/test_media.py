@@ -1,8 +1,10 @@
 """Multimodal tests: real container-format generators, real header
 decode, real PNG/BMP/PPM/JPEG pixel decode (baseline JPEG codec since
 r5 — pdf_inspector_spark/jpeg.py), real MJPEG/AVI frame sampling, and
-the mapInPandas plumbing. Only mp4 frame decode remains a codec
-boundary (ffmpeg) — surfaced as an error row."""
+(since r6) real mp4 frame sampling via the stsd/stsz/stco sample-table
+walk, plus the mapInPandas plumbing. The remaining codec boundary —
+mp4s with no sample table or a non-JPEG codec (ffmpeg territory) — is
+surfaced as an error row."""
 
 import hashlib
 import math
@@ -395,30 +397,64 @@ def test_frame_sampling_step_is_ceil(spark):
     assert all(r["error_kind"] is None for r in rows)
 
 
-def test_frame_sampling_real_avi_and_mp4_error_row(spark, media_df):
-    """sample_frames emits real decoded MJPEG frames for AVI rows and an
-    error-as-row (MediaCodecUnavailable) for mp4 — never a stage
-    failure."""
+def test_frame_sampling_real_avi_and_mp4(spark, media_df):
+    """sample_frames emits real decoded frames for AVI rows and for mp4
+    rows with a sample table; legacy junk-mdat mp4s yield an
+    error-as-row (MediaCodecUnavailable) — never a stage failure."""
     out = sample_frames(media_df, every_ms=1).collect()
     fmt_by_id = {r["media_id"]: r["fmt"]
                  for r in media_df.select("media_id", "fmt").collect()}
     avi_rows = [r for r in out if fmt_by_id[r["media_id"]] == "avi"]
     mp4_rows = [r for r in out if fmt_by_id[r["media_id"]] == "mp4"]
     assert avi_rows and mp4_rows
-    for r in mp4_rows:
+    mp4_err = [r for r in mp4_rows if r["error_kind"] is not None]
+    mp4_ok = [r for r in mp4_rows if r["error_kind"] is None]
+    assert mp4_err, "expected legacy no-stbl mp4 error rows"
+    assert mp4_ok, "expected real mp4 sample-table frame rows"
+    for r in mp4_err:
         assert r["error_kind"] == "MediaCodecUnavailable"
         assert r["frame"] is None
-    ok = [r for r in avi_rows if r["error_kind"] is None]
-    assert ok, "expected at least one decodable AVI frame row"
+    ok = [r for r in avi_rows if r["error_kind"] is None] + mp4_ok
+    assert ok, "expected at least one decodable frame row"
     for r in ok:
         assert r["frame"][:2] == bytes([0xFF, 0xD8])  # SOI
         assert r["frame_w"] > 0 and r["frame_h"] > 0
-    # every_ms=1 with >=4ms frames → step 1 → all frames sampled
+    # every_ms=1 with >=1ms frames → step 1 → all frames sampled
     by_id: dict[int, list] = {}
     for r in ok:
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     for mid, idxs in by_id.items():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_mp4_sample_table_golden():
+    """make_mp4 with frames carries a walkable stsd/stsz/stco whose
+    samples are real decodable JPEGs at the declared dims; the legacy
+    layout and a truncated file report no sample table."""
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    from pdf_inspector_spark.media import _mp4_sample_table
+    p = make_mp4(3000, 11, n_frames=4, frame_w=10, frame_h=7)
+    codec, samples = _mp4_sample_table(p)
+    assert codec == b"jpeg" and len(samples) == 4
+    for off, sz in samples:
+        w, h, rgb = decode_baseline_jpeg(p[off:off + sz])
+        assert (w, h, len(rgb)) == (10, 7, 10 * 7 * 3)
+    assert _mp4_sample_table(make_mp4(3000, 11)) is None
+    assert _mp4_sample_table(p[:60]) is None
+    # truncation inside mdat: offsets point past the end → rejected
+    assert _mp4_sample_table(p[:len(p) - 5]) is None
+
+
+def test_mp4_frame_sampling_step(spark):
+    """mp4 sampling uses the mvhd duration for frame spacing: 6 frames
+    over 600ms (100ms each) with every_ms=250 → indices 0,3 (ceil)."""
+    p = make_mp4(600, 9, n_frames=6, frame_w=8, frame_h=6)
+    df = spark.createDataFrame(
+        [(1, "video", "mp4", bytearray(p))],
+        "media_id long, kind string, fmt string, payload binary")
+    rows = sample_frames(df, every_ms=250).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3]
+    assert all(r["error_kind"] is None for r in rows)
 
 
 def test_payload_generator_is_pure():

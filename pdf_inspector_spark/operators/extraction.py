@@ -59,6 +59,36 @@ def ensure_fixture_tables() -> tuple[str, str]:
     return tpath, EXPECTED_PATH
 
 
+SNAP_ROOT = os.path.join(DATA_DIR, f"transcripts_{SCALE}_snaptable")
+
+
+def ensure_snapshot_table(spark: SparkSession) -> str:
+    """The t-small transcripts table as a snapshot/manifest table
+    (pdf_inspector_spark.snapshots — the Iceberg analog): the pi_* gated
+    queries read their input through ``snapshots.read``, so the scan's
+    file list comes from the committed manifest, exactly like an Iceberg
+    table scan on a real deployment (north rule: "Iceberg transcripts
+    table"). Rebuilt from scratch whenever the corpus fingerprint
+    changes; otherwise the committed snapshot is reused as-is."""
+    from .. import snapshots
+    from ..transcripts import corpus_fingerprint
+    fp_path = os.path.join(SNAP_ROOT, "_FINGERPRINT")
+    fp = corpus_fingerprint()
+    if (snapshots.current_snapshot(SNAP_ROOT) is not None
+            and os.path.exists(fp_path)):
+        with open(fp_path, encoding="utf-8") as f:
+            if f.read().strip() == fp:
+                return SNAP_ROOT
+    import shutil
+    if os.path.exists(SNAP_ROOT):
+        shutil.rmtree(SNAP_ROOT)
+    tpath = write_transcripts(SCALE)
+    snapshots.commit(spark.read.parquet(tpath), SNAP_ROOT, mode="append")
+    with open(fp_path, "w", encoding="utf-8") as f:
+        f.write(fp + "\n")
+    return SNAP_ROOT
+
+
 _RESULT_CACHE: dict = {}
 
 
@@ -69,10 +99,14 @@ def _pipeline_result(spark: SparkSession):
     if key not in _RESULT_CACHE:
         # the dedup-aware plan is the production extraction plan; running
         # it here puts its FULL output schema (text, markdown, spans,
-        # classification fields, quarantine rows) under every pi_* oracle
+        # classification fields, quarantine rows) under every pi_* oracle.
+        # The input is read THROUGH the snapshot/manifest layer (explicit
+        # manifest file list, not a directory glob) — the Iceberg-analog
+        # scan path, gated here end-to-end.
+        from .. import snapshots
         from ..pipeline import run_pipeline_dedup, with_turn_order
-        tpath, _ = ensure_fixture_tables()
-        df = spark.read.parquet(tpath)
+        ensure_fixture_tables()
+        df = snapshots.read(spark, ensure_snapshot_table(spark))
         _RESULT_CACHE[key] = with_turn_order(
             run_pipeline_dedup(df, with_markdown=True)).cache()
     return _RESULT_CACHE[key]

@@ -793,58 +793,14 @@ def _interpret_stream(doc: Document, operations, page_num: int,
                                          font_cmaps, base_names,
                                          tounicode_refs, font_encodings)
 
+    # Branch order is measured operator frequency (BT/Tf/ET/Tj/Td are
+    # ~96% of real content-stream ops), not spec order — the chain is
+    # the interpreter's per-op fixed cost. Operator names are distinct,
+    # so ordering is semantics-free.
     for op in operations:
         o = op.operator
         ops = op.operands
-        if o == "q" and allow_graphics_state:
-            ctm_stack.append(ctm)
-        elif o == "Q" and allow_graphics_state:
-            if ctm_stack:
-                ctm = ctm_stack.pop()
-        elif o == "cm" and allow_graphics_state:
-            if len(ops) >= 6:
-                nm = tuple(_get_number(v) if _get_number(v) is not None
-                           else (1.0 if i in (0, 3) else 0.0)
-                           for i, v in enumerate(ops[:6]))
-                ctm = multiply_matrices(nm, ctm)
-        elif o == "BT":
-            in_text_block = True
-            text_matrix = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
-            line_matrix = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
-        elif o == "ET":
-            in_text_block = False
-        elif o == "Tf":
-            if len(ops) >= 2:
-                if isinstance(ops[0], Name):
-                    current_font = str(ops[0])
-                sz = _get_number(ops[1])
-                if sz is not None:
-                    current_font_size = sz
-        elif o in ("Td", "TD"):
-            if len(ops) >= 2:
-                tx = _get_number(ops[0]) or 0.0
-                ty = _get_number(ops[1]) or 0.0
-                if is_form:
-                    # Form mini-interpreter parity (src/extractor.rs:
-                    # 1452-1459): offsets apply directly to the
-                    # post-advance text matrix; no line matrix.
-                    text_matrix[4] += tx
-                    text_matrix[5] += ty
-                else:
-                    line_matrix[4] += tx
-                    line_matrix[5] += ty
-                    text_matrix = list(line_matrix)
-        elif o == "Tm":
-            if len(ops) >= 6:
-                for i in range(6):
-                    v = _get_number(ops[i])
-                    text_matrix[i] = v if v is not None else (1.0 if i in (0, 3) else 0.0)
-                line_matrix = list(text_matrix)
-        elif o == "T*":
-            if not is_form:  # the reference's form interpreter has no T*
-                line_matrix[5] -= current_font_size * 1.2  # line height approx
-                text_matrix = list(line_matrix)
-        elif o == "Tj":
+        if o == "Tj":
             if in_text_block and ops:
                 text = decode(ops[0])
                 if text is not None and text.strip():
@@ -863,6 +819,33 @@ def _interpret_stream(doc: Document, operations, page_num: int,
                     base_font = base_names.get(current_font, current_font)
                     _emit_tj_item(items, text, tm_at_emit, place, current_font,
                                   current_font_size, width, page_num, base_font)
+        elif o == "Td" or o == "TD":
+            if len(ops) >= 2:
+                tx = _get_number(ops[0]) or 0.0
+                ty = _get_number(ops[1]) or 0.0
+                if is_form:
+                    # Form mini-interpreter parity (src/extractor.rs:
+                    # 1452-1459): offsets apply directly to the
+                    # post-advance text matrix; no line matrix.
+                    text_matrix[4] += tx
+                    text_matrix[5] += ty
+                else:
+                    line_matrix[4] += tx
+                    line_matrix[5] += ty
+                    text_matrix = list(line_matrix)
+        elif o == "Tf":
+            if len(ops) >= 2:
+                if isinstance(ops[0], Name):
+                    current_font = str(ops[0])
+                sz = _get_number(ops[1])
+                if sz is not None:
+                    current_font_size = sz
+        elif o == "BT":
+            in_text_block = True
+            text_matrix = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+            line_matrix = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        elif o == "ET":
+            in_text_block = False
         elif o == "TJ":
             if in_text_block and ops and isinstance(ops[0], list):
                 fi = font_widths.get(current_font)
@@ -900,6 +883,27 @@ def _interpret_stream(doc: Document, operations, page_num: int,
                     if fi is not None:
                         text_matrix[4] += total_width_ts * text_matrix[0]
                         text_matrix[5] += total_width_ts * text_matrix[1]
+        elif o == "Tm":
+            if len(ops) >= 6:
+                for i in range(6):
+                    v = _get_number(ops[i])
+                    text_matrix[i] = v if v is not None else (1.0 if i in (0, 3) else 0.0)
+                line_matrix = list(text_matrix)
+        elif o == "T*":
+            if not is_form:  # the reference's form interpreter has no T*
+                line_matrix[5] -= current_font_size * 1.2  # line height approx
+                text_matrix = list(line_matrix)
+        elif o == "q" and allow_graphics_state:
+            ctm_stack.append(ctm)
+        elif o == "Q" and allow_graphics_state:
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+        elif o == "cm" and allow_graphics_state:
+            if len(ops) >= 6:
+                nm = tuple(_get_number(v) if _get_number(v) is not None
+                           else (1.0 if i in (0, 3) else 0.0)
+                           for i, v in enumerate(ops[:6]))
+                ctm = multiply_matrices(nm, ctm)
         elif o == "'":
             if not is_form:
                 line_matrix[5] -= current_font_size * 1.2

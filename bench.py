@@ -358,7 +358,13 @@ def main() -> None:
     # the bar, the window cannot produce a meaningful raw ratio — sleep
     # and retry (bounded), recording every attempt in the artifact.
     gate_bar = float(os.environ.get("SPARK_GRAFT_GATE_BAR", "0.75"))
-    gate_tries = int(os.environ.get("SPARK_GRAFT_GATE_ATTEMPTS", "3"))
+    # With the graded pair on the long t-large job the ratio is robust to
+    # box state (r6: raw 0.806 measured WITH the control at 0.65), so the
+    # gate is recorded as context but not worth multi-minute retry sleeps;
+    # same-scale (short-job) grading keeps the retry behavior.
+    default_tries = "1" if graded_scale != scale else "3"
+    gate_tries = int(os.environ.get("SPARK_GRAFT_GATE_ATTEMPTS",
+                                    default_tries))
     gate_sleep = int(os.environ.get("SPARK_GRAFT_GATE_RETRY_SEC", "90"))
 
     def _hwprobe(cpus: int) -> float | None:

@@ -52,6 +52,10 @@ def parse_simple_font_widths(doc: Document, font_dict: dict) -> FontWidthInfo | 
     widths_array = doc.get_array(font_dict.get("Widths"))
     if widths_array is None:
         return None
+    # Measured and rejected (r6): a dict(zip(range, widths)) fast path
+    # gated on an all-ints check — the all() generator pass over the
+    # array costs more than the zip saves at real 95-entry Widths
+    # (10.9 vs 10.1 µs/call symmetric microbench). The loop stays.
     widths: dict[int, int] = {}
     space_width = 0
     for i, w_obj in enumerate(widths_array):

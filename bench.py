@@ -425,6 +425,12 @@ def main() -> None:
             spawn_order.append(f"{graded_scale}:n{cpus}")
             rounds[cpus].append(_spawn(cpus, "nocache", pre_cooldown=True,
                                        at_scale=graded_scale))
+    # Second t-bench n=CPUS sample, time-separated from the first by the
+    # graded rounds: queries.extract_pipeline stays best-of-2 across two
+    # windows (the r4 "never silently halve on box weather" protection —
+    # a single cold sample can be 2x off on this box).
+    spawn_order.append(f"{scale}:n{CPUS}")
+    bench_rounds[CPUS].append(_spawn(CPUS, "nocache", pre_cooldown=True))
 
     def best(cpus: int) -> dict:
         return max(rounds[cpus], key=lambda r: r["turns_per_sec"])

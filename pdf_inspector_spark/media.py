@@ -389,8 +389,17 @@ def _mp4_sample_table(p: bytes):
     for t, s, e in children(*span):
         if t != b"trak":
             continue
-        path = (s, e)
-        for tag in (b"mdia", b"minf", b"stbl"):
+        mdia = find(b"mdia", s, e)
+        if not mdia:
+            continue
+        # bind to the VIDEO track only (hdlr handler_type 'vide') — an
+        # audio-first mux must not hand its mp4a sample table to the
+        # frame sampler, mirroring the AVI 'vids' stream binding
+        hdlr = find(b"hdlr", *mdia)
+        if not hdlr or p[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        path = mdia
+        for tag in (b"minf", b"stbl"):
             path = find(tag, *path)
             if not path:
                 break
@@ -404,13 +413,21 @@ def _mp4_sample_table(p: bytes):
             continue
         codec = p[stsd[0] + 12:stsd[0] + 16]        # first entry fourcc
         sample_size, count = struct.unpack(">II", p[stsz[0] + 4:stsz[0] + 12])
+        n_off = struct.unpack(">I", p[stco[0] + 4:stco[0] + 8])[0]
+        if n_off != count:
+            return None
+        # bound both counts by their boxes' actual extents BEFORE any
+        # list allocation: a corrupt 32-bit count would otherwise
+        # materialize a multi-GB list (MemoryError = stage failure, not
+        # an error row)
+        if stco[1] - stco[0] < 8 + 4 * n_off:
+            return None
+        if sample_size == 0 and stsz[1] - stsz[0] < 12 + 4 * count:
+            return None
         sizes = ([sample_size] * count if sample_size
                  else [struct.unpack(">I", p[stsz[0] + 12 + 4 * i:
                                              stsz[0] + 16 + 4 * i])[0]
                        for i in range(count)])
-        n_off = struct.unpack(">I", p[stco[0] + 4:stco[0] + 8])[0]
-        if n_off != count:
-            return None
         offs = [struct.unpack(">I", p[stco[0] + 8 + 4 * i:
                                       stco[0] + 12 + 4 * i])[0]
                 for i in range(n_off)]
@@ -653,12 +670,20 @@ def _media_row(i: int) -> dict:
             "ts": BASE_TS + timedelta(seconds=i * 37)}
 
 
+def media_table_path(n_rows: int = 2000, data_dir: str = DATA_DIR) -> str:
+    """Single owner of the media-table version/naming scheme — the
+    DuckDB oracle derives its read path from here too, so a version
+    bump can never split the two engines onto different fixtures.
+
+    v5: mp4 rows carry a real stbl (stsd/stsz/stco) with JPEG samples
+    (~25% stay legacy junk-mdat to exercise the codec boundary);
+    v4 added MJPEG-in-AVI video rows with real sampleable frames."""
+    return os.path.join(data_dir, f"media_{n_rows}_v5.parquet")
+
+
 def write_media(n_rows: int = 2000, data_dir: str = DATA_DIR,
                 force: bool = False) -> str:
-    # v5: mp4 rows carry a real stbl (stsd/stsz/stco) with JPEG samples
-    # (~25% stay legacy junk-mdat to exercise the codec boundary);
-    # v4 added MJPEG-in-AVI video rows with real sampleable frames
-    path = os.path.join(data_dir, f"media_{n_rows}_v5.parquet")
+    path = media_table_path(n_rows, data_dir)
     if os.path.exists(path) and not force:
         return path
     os.makedirs(data_dir, exist_ok=True)
@@ -945,13 +970,21 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 f"mp4 codec {codec!r} needs ffmpeg")
                         frames = [payload[o:o + sz] for o, sz in samples]
                         hdr = _parse_mp4_header(payload)
-                        dur_ms = (hdr["decoded_duration_ms"] if hdr
-                                  else len(frames))
-                    frame_ms = dur_ms / max(len(frames), 1)
-                    # ceil: consecutive samples are >= every_ms apart
-                    # (floor would sample MORE often than asked — e.g.
-                    # every_ms=1000 over 300ms frames must step 4, not 3).
-                    step = max(1, math.ceil(every_ms / max(frame_ms, 1e-9)))
+                        # valid stbl but torn/missing mvhd: frame timing
+                        # is unknown — sample EVERY frame (conservative)
+                        # rather than inventing a duration that would
+                        # silently collapse sampling to frame 0
+                        dur_ms = hdr["decoded_duration_ms"] if hdr else None
+                    if dur_ms is None:
+                        step = 1
+                    else:
+                        frame_ms = dur_ms / max(len(frames), 1)
+                        # ceil: consecutive samples are >= every_ms
+                        # apart (floor would sample MORE often than
+                        # asked — e.g. every_ms=1000 over 300ms frames
+                        # must step 4, not 3).
+                        step = max(1, math.ceil(every_ms
+                                                / max(frame_ms, 1e-9)))
                     for idx in range(0, len(frames), step):
                         fw, fh, _rgb = decode_baseline_jpeg(frames[idx])
                         rows.append((mid, idx, fw, fh, frames[idx], None))

@@ -147,10 +147,8 @@ ORDER BY x.media_id
 
 
 def _register() -> None:
-    import os
-
-    from ..transcripts import DATA_DIR
-    path = os.path.join(DATA_DIR, "media_2000_v5.parquet")  # written on demand
+    from ..media import media_table_path
+    path = media_table_path()  # written on demand
     src = f"read_parquet('{path}')"
     register("mm_media_features", _features_spark,
              _FEATURES_DUCK.format(src=src),

@@ -642,3 +642,83 @@ def test_jpeg_decoder_rejects_noninterleaved_scans():
     spliced = base[:sos_at] + one_comp_sos + base[sos_at + 14:]
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_baseline_jpeg(spliced)
+
+
+def _audio_trak() -> bytes:
+    """Minimal audio trak: hdlr 'soun' + an mp4a sample table with zero
+    samples — a parser that binds to the first trak with a sample table
+    (instead of the first VIDEO trak) trips over it."""
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 13)
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+               + struct.pack(">I", 16) + b"mp4a" + b"\x00" * 8)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 0))
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    return box(b"trak", mdia)
+
+
+def test_mp4_sample_table_binds_to_video_trak():
+    """An audio-first mux must not hand its mp4a sample table to the
+    frame sampler (code-review r6): splice an audio trak before the
+    video trak and patch the video stco for the shift."""
+    from pdf_inspector_spark.media import _mp4_sample_table
+    p = make_mp4(1000, 4, n_frames=3, frame_w=8, frame_h=6)
+    atrak = _audio_trak()
+    trak_pos = p.index(b"trak") - 4
+    out = bytearray(p[:trak_pos] + atrak + p[trak_pos:])
+    moov_pos = out.index(b"moov") - 4
+    out[moov_pos:moov_pos + 4] = struct.pack(
+        ">I", struct.unpack(">I", p[moov_pos:moov_pos + 4])[0] + len(atrak))
+    # patch the VIDEO stco (the second stco in the file) for the shift
+    first_stco = out.index(b"stco")
+    vstco = out.index(b"stco", first_stco + 4)
+    n = struct.unpack(">I", out[vstco + 8:vstco + 12])[0]
+    for i in range(n):
+        o = vstco + 12 + 4 * i
+        out[o:o + 4] = struct.pack(
+            ">I", struct.unpack(">I", bytes(out[o:o + 4]))[0] + len(atrak))
+    from pdf_inspector_spark.jpeg import decode_baseline_jpeg
+    codec, samples = _mp4_sample_table(bytes(out))
+    assert codec == b"jpeg" and len(samples) == 3
+    for off, sz in samples:
+        w, h, _ = decode_baseline_jpeg(bytes(out[off:off + sz]))
+        assert (w, h) == (8, 6)
+
+
+def test_mp4_sample_table_corrupt_stsz_count_is_rejected():
+    """A corrupt 32-bit stsz/stco count must be rejected by the box
+    extent check BEFORE any list allocation (code-review r6: a 2^31
+    count previously attempted a ~17 GB list -> MemoryError escaped the
+    error-as-row boundary)."""
+    from pdf_inspector_spark.media import _mp4_sample_table
+    p = make_mp4(1000, 4, n_frames=3, frame_w=8, frame_h=6)
+    stsz = p.index(b"stsz")
+    stco = p.index(b"stco")
+    for pos in (stsz + 12, stco + 8):  # stsz count / stco entry_count
+        bad = bytearray(p)
+        bad[pos:pos + 4] = struct.pack(">I", 2 ** 31)
+        assert _mp4_sample_table(bytes(bad)) is None
+    # fixed-size variant: sample_size != 0 with a huge count
+    bad = bytearray(p)
+    bad[stsz + 8:stsz + 16] = struct.pack(">II", 100, 2 ** 31)
+    bad[stco + 8:stco + 12] = struct.pack(">I", 2 ** 31)
+    assert _mp4_sample_table(bytes(bad)) is None
+
+
+def test_mp4_torn_mvhd_samples_every_frame(spark):
+    """Valid stbl but unparsable mvhd: frame timing is unknown, so
+    sampling falls back to every frame instead of inventing a duration
+    that collapses to frame 0 (code-review r6)."""
+    p = bytearray(make_mp4(600, 9, n_frames=6, frame_w=8, frame_h=6))
+    mvhd = p.index(b"mvhd")
+    p[mvhd:mvhd + 4] = b"mvhX"  # fourcc corrupted in place, sizes intact
+    df = spark.createDataFrame(
+        [(1, "video", "mp4", bytes(p))],
+        "media_id long, kind string, fmt string, payload binary")
+    rows = sample_frames(df, every_ms=250).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3, 4, 5]
+    assert all(r["error_kind"] is None for r in rows)

@@ -194,5 +194,7 @@ def test_snapshot_table_rebuilds_on_fingerprint_change(spark, monkeypatch):
     after = S.current_snapshot(root2)
     assert root2 == root
     assert after["sequence"] == 1  # rebuilt from scratch, not appended
-    assert after["snapshot_id"] != before or True  # ids may differ (uuid dirs)
+    # a rebuild writes a fresh uuid data dir -> new file list -> new id;
+    # serving the stale snapshot unchanged would keep the old id
+    assert after["snapshot_id"] != before
     assert S.read(spark, root).count() > 0

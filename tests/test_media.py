@@ -516,6 +516,27 @@ def test_prop_parser_never_raises_on_magic_prefixed_fuzz(payload, prefix):
         parse_media_header(prefix + payload, fmt)
 
 
+@settings(max_examples=80, deadline=None)
+@given(pos=st.integers(0, 10_000), chunk=st.binary(min_size=1, max_size=16),
+       mid=st.integers(0, 50))
+def test_prop_mp4_sample_table_never_raises_on_corruption(pos, chunk, mid):
+    """Overwrite an arbitrary byte range of a valid frames-mp4: the
+    sample-table walk must return None or a bounded, in-file sample list
+    — never raise, never over-allocate (the r6 error-as-row contract)."""
+    from pdf_inspector_spark.media import _mp4_sample_table
+    base = make_mp4(900, mid, n_frames=3, frame_w=6, frame_h=5)
+    p = bytearray(base)
+    pos = pos % len(p)
+    p[pos:pos + len(chunk)] = chunk
+    p = bytes(p[:len(base)])
+    tbl = _mp4_sample_table(p)
+    if tbl is not None:
+        codec, samples = tbl
+        assert len(samples) <= len(p) // 4
+        for off, sz in samples:
+            assert 0 <= off and off + sz <= len(p)
+
+
 # -- round-5 hardening: spec-legal JPEG variants, corrupt-payload rows,
 # -- top-down BMP oracle sign-fold ------------------------------------------
 

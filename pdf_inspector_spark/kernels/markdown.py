@@ -341,8 +341,17 @@ def merge_continuation_tables(page_tables: dict[int, list[tuple[float, str]]],
 # -- main emitters (src/markdown.rs:116-713) -------------------------------
 
 def to_markdown_from_items(items: list[TextItem],
-                           options: MarkdownOptions | None = None) -> str:
-    """Structure stage entry point (src/markdown.rs:116-239)."""
+                           options: MarkdownOptions | None = None,
+                           precomputed_lines=None) -> str:
+    """Structure stage entry point (src/markdown.rs:116-239).
+
+    ``precomputed_lines`` is an optional ``(source_items, lines)`` pair
+    from items_to_text_and_spans(return_lines=True): when no table items
+    are carved out, the markdown stage's grouping input is the identical
+    item list the text stage already grouped, so the pipeline passes the
+    result through instead of re-deriving it (~2x group_into_lines work
+    per document otherwise). Used only when the source lists match
+    element-for-element; callers outside the pipeline just omit it."""
     if options is None:
         options = MarkdownOptions()
     if not items:
@@ -396,7 +405,15 @@ def to_markdown_from_items(items: list[TextItem],
     table_only_pages = {p for p in page_tables if p not in pages_with_text}
     merge_continuation_tables(page_tables, table_only_pages)
 
-    lines = group_into_lines(non_table_items)
+    lines = None
+    if precomputed_lines is not None and not table_item_idx:
+        src, pre = precomputed_lines
+        # identity comparison per element (TextItem defines no __eq__):
+        # reuse is valid only for the exact objects the text stage grouped
+        if src == non_table_items:
+            lines = pre
+    if lines is None:
+        lines = group_into_lines(non_table_items)
     return _to_markdown_from_lines(lines, options, page_tables, page_images)
 
 

@@ -49,13 +49,20 @@ def classify_mem(buf: bytes, config: DetectionConfig = DetectionConfig()) -> dic
         }
 
 
-def items_to_text_and_spans(items: list[TextItem]) -> tuple[str, list[dict]]:
+def items_to_text_and_spans(items: list[TextItem], return_lines: bool = False):
     """Reading-order line texts joined with ``\\n`` + span offsets.
 
     The per-turn ``text`` is the byte-equality contract target (reference
     entry point 3: src/extractor.rs:854-861 + group_into_lines :2223).
+
+    With ``return_lines=True`` also returns ``(source_items, lines)`` so
+    the markdown stage can reuse the grouping instead of re-deriving it
+    (to_markdown_from_items accepts it as ``precomputed_lines`` and
+    only uses it when its own input is the identical item list — i.e.
+    no table items were carved out).
     """
-    lines = group_into_lines([i for i in items if i.item_type == ITEM_TEXT])
+    src = [i for i in items if i.item_type == ITEM_TEXT]
+    lines = group_into_lines(src)
     parts: list[str] = []
     spans: list[dict] = []
     offset = 0
@@ -73,6 +80,8 @@ def items_to_text_and_spans(items: list[TextItem]) -> tuple[str, list[dict]]:
             "y": line.y,
             "font_size": first.font_size if first else 0.0,
         })
+    if return_lines:
+        return "\n".join(parts), spans, (src, lines)
     return "\n".join(parts), spans
 
 
@@ -165,10 +174,12 @@ def _process_pdf_mem_uncached(buf: bytes,
                 # TextBased reports it.
                 error_kind, error_msg = type(exc).__name__, str(exc)[:500]
         if items is not None:
-            text, spans = items_to_text_and_spans(items)
+            text, spans, pre_lines = items_to_text_and_spans(
+                items, return_lines=True)
             if with_markdown:
                 try:
-                    markdown = to_markdown_from_items(items, options)
+                    markdown = to_markdown_from_items(
+                        items, options, precomputed_lines=pre_lines)
                 except Exception as exc:  # noqa: BLE001
                     if pdf_type == PDF_TYPE_TEXT:
                         error_kind, error_msg = type(exc).__name__, str(exc)[:500]

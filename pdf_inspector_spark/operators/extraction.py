@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from . import register
-from ..transcripts import (DATA_DIR, expected_turns, write_transcripts)
+from ..transcripts import DATA_DIR, write_transcripts
 
 SCALE = "t-small"
 # v8 (r4): + footnote_table in the payload pool (was golden-only in r3)
@@ -42,11 +42,42 @@ _EXPECTED_SCHEMA = pa.schema([
 
 
 def _write_expected(scale: str, path: str) -> None:
-    if not os.path.exists(path):
-        rows = expected_turns(scale)
-        table = pa.Table.from_pylist(rows, schema=_EXPECTED_SCHEMA)
-        os.makedirs(DATA_DIR, exist_ok=True)
-        pq.write_table(table, path, compression="zstd")
+    """Write the expected-output fixture parquet, streaming in 100k-row
+    batches: one Arrow table of the whole fixture is ~1 GB at t-bench
+    and ~7 GB at t-large (turn texts are materialized per row), while
+    the streamed file is identical and the peak stays ~100 MB."""
+    if os.path.exists(path):
+        return
+    from ..fixtures import load_fixtures
+    from ..transcripts import assign_doc_id, conv_ids, turns_for_conv
+    os.makedirs(DATA_DIR, exist_ok=True)
+    fx = load_fixtures()
+    writer = pq.ParquetWriter(path + ".tmp", _EXPECTED_SCHEMA,
+                              compression="zstd")
+    batch: list[dict] = []
+
+    def flush() -> None:
+        if batch:
+            writer.write_table(
+                pa.Table.from_pylist(batch, schema=_EXPECTED_SCHEMA))
+            batch.clear()
+
+    for ci, conv_id in enumerate(conv_ids(scale)):
+        for t in range(turns_for_conv(scale, ci)):
+            e = fx[assign_doc_id(conv_id, t)]
+            batch.append({
+                "conv_id": conv_id, "turn_idx": t,
+                "doc_id": assign_doc_id(conv_id, t),
+                "pdf_type": e["pdf_type"], "text": e["text"],
+                "markdown": e["markdown"], "error_kind": e["error_kind"],
+                "n_spans": len(e["spans"]) if e["spans"] is not None else 0,
+                "ocr_recommended": bool(e["ocr_recommended"]),
+            })
+            if len(batch) >= 100_000:
+                flush()
+    flush()
+    writer.close()
+    os.replace(path + ".tmp", path)
 
 
 def ensure_fixture_tables() -> tuple[str, str]:

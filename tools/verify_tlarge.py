@@ -25,54 +25,17 @@ def main() -> int:
     scale = sys.argv[1] if len(sys.argv) > 1 else "t-large"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
-    from pdf_inspector_spark.fixtures import load_fixtures
-    from pdf_inspector_spark.operators.extraction import _EXPECTED_SCHEMA
+    from pdf_inspector_spark.operators.extraction import _write_expected
     from pdf_inspector_spark.pipeline import run_pipeline_dedup
     from pdf_inspector_spark.session import get_spark
-    from pdf_inspector_spark.transcripts import (DATA_DIR, assign_doc_id,
-                                                 conv_ids, turns_for_conv,
-                                                 write_transcripts)
+    from pdf_inspector_spark.transcripts import DATA_DIR, write_transcripts
 
     tpath = write_transcripts(scale)
     epath = os.path.join(DATA_DIR, f"expected_{scale}_v8.parquet")
-    if not os.path.exists(epath):
-        # streamed fixture writer: extraction._write_expected materializes
-        # the whole expected table in one Arrow table — fine at t-bench,
-        # ~7 GB of duplicated strings at t-large. Write in 100k-row
-        # batches instead (same rows, same schema).
-        fx = load_fixtures()
-        writer = pq.ParquetWriter(epath + ".tmp", _EXPECTED_SCHEMA,
-                                  compression="zstd")
-        batch: list[dict] = []
-
-        def flush() -> None:
-            if batch:
-                writer.write_table(
-                    pa.Table.from_pylist(batch, schema=_EXPECTED_SCHEMA))
-                batch.clear()
-
-        for ci, conv_id in enumerate(conv_ids(scale)):
-            for t in range(turns_for_conv(scale, ci)):
-                e = fx[assign_doc_id(conv_id, t)]
-                batch.append({
-                    "conv_id": conv_id, "turn_idx": t,
-                    "doc_id": assign_doc_id(conv_id, t),
-                    "pdf_type": e["pdf_type"], "text": e["text"],
-                    "markdown": e["markdown"],
-                    "error_kind": e["error_kind"],
-                    "n_spans": (len(e["spans"])
-                                if e["spans"] is not None else 0),
-                    "ocr_recommended": bool(e["ocr_recommended"]),
-                })
-                if len(batch) >= 100_000:
-                    flush()
-        flush()
-        writer.close()
-        os.replace(epath + ".tmp", epath)
+    # streams in 100k-row batches (shared writer in operators.extraction)
+    _write_expected(scale, epath)
 
     spark = get_spark(f"verify-{scale}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")

@@ -125,22 +125,30 @@ _RESULT_CACHE: dict = {}
 
 def _pipeline_result(spark: SparkSession):
     """Run the pipeline once per session and reuse across the extraction
-    queries (cached DataFrame of derived columns only — tiny)."""
+    queries (cached DataFrame of derived columns only — tiny).
+
+    The cache stores (session, df) and hits only when the stored session
+    IS the caller's session: keying on id() alone is unsound once a
+    stopped session is garbage-collected and a new one reuses its id —
+    the hit would hand out a DataFrame bound to a dead JVM context.
+    (Holding the strong session ref also pins the id against reuse.)"""
     key = id(spark)
-    if key not in _RESULT_CACHE:
-        # the dedup-aware plan is the production extraction plan; running
-        # it here puts its FULL output schema (text, markdown, spans,
-        # classification fields, quarantine rows) under every pi_* oracle.
-        # The input is read THROUGH the snapshot/manifest layer (explicit
-        # manifest file list, not a directory glob) — the Iceberg-analog
-        # scan path, gated here end-to-end.
-        from .. import snapshots
-        from ..pipeline import run_pipeline_dedup, with_turn_order
-        ensure_fixture_tables()
-        df = snapshots.read(spark, ensure_snapshot_table(spark))
-        _RESULT_CACHE[key] = with_turn_order(
-            run_pipeline_dedup(df, with_markdown=True)).cache()
-    return _RESULT_CACHE[key]
+    hit = _RESULT_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    # the dedup-aware plan is the production extraction plan; running
+    # it here puts its FULL output schema (text, markdown, spans,
+    # classification fields, quarantine rows) under every pi_* oracle.
+    # The input is read THROUGH the snapshot/manifest layer (explicit
+    # manifest file list, not a directory glob) — the Iceberg-analog
+    # scan path, gated here end-to-end.
+    from .. import snapshots
+    from ..pipeline import run_pipeline_dedup, with_turn_order
+    ensure_fixture_tables()
+    df = snapshots.read(spark, ensure_snapshot_table(spark))
+    out = with_turn_order(run_pipeline_dedup(df, with_markdown=True)).cache()
+    _RESULT_CACHE[key] = (spark, out)
+    return out
 
 
 def _classify_counts(spark: SparkSession, sf_dir: str):

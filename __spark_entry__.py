@@ -25,16 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
-_SHIPPED: set[int] = set()
+_SHIPPED: dict[int, SparkSession] = {}
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the package to executor-python workers (the local-mode
     equivalent of ``spark-submit --py-files``). Without this, a driver
     session created from a different cwd cannot unpickle the UDFs on
-    executors."""
+    executors. Memo is identity-checked: a bare id() hit could match a
+    NEW session that reused a collected session's id and skip the
+    addPyFile (the stored strong ref also pins the id)."""
     key = id(spark)
-    if key in _SHIPPED:
+    if _SHIPPED.get(key) is spark:
         return
     pkg_dir = os.path.join(REPO_ROOT, "pdf_inspector_spark")
     zip_path = os.path.join(REPO_ROOT, "data", "pdf_inspector_spark.zip")
@@ -54,7 +56,7 @@ def _ensure_shipped(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — already added in this context
         pass
-    _SHIPPED.add(key)
+    _SHIPPED[key] = spark
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -51,11 +51,15 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     whatever zone the CALLER's session runs in — the DuckDB oracle
     always treats naive timestamps as UTC, so the contract is UTC."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if _LOADED_VIEWS.get(id(spark)) == sf_dir:
+    # identity-checked memo: id() alone could hit on a NEW session that
+    # reused a garbage-collected session's id and silently skip view
+    # registration (the stored strong ref also pins the id)
+    hit = _LOADED_VIEWS.get(id(spark))
+    if hit is not None and hit[0] is spark and hit[1] == sf_dir:
         return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _LOADED_VIEWS[id(spark)] = sf_dir
+    _LOADED_VIEWS[id(spark)] = (spark, sf_dir)
 
 
 def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:

@@ -95,26 +95,33 @@ _DOCS = "SELECT doc_id, text FROM documents"
 # stats (folded from the r2 dedup_exact_stats so the registry fits the
 # driver's 50-query window).
 
+# r7 (guide §2.4 "two operations keyed the same way can share one
+# exchange"): both the per-hash groups and the corpus stats now derive
+# from ONE `counts` aggregate keyed text_hash, so the two CTE
+# references duplicate IDENTICAL hashpartitioning(text_hash) exchange
+# subtrees and ReuseExchange computes the scan+sha256+partial-aggregate
+# once. The r3–r6 form computed `hashed` twice: once into the groups
+# aggregate, once into a COUNT(DISTINCT) whose expand-aggregate shape
+# did not match, so the corpus was scanned and hashed twice per run.
+# n_docs = SUM(n_copies), n_unique = COUNT(*) over counts — exact.
 _EXACT_SPARK = f"""
 WITH corpus AS ({_RECRAWL}),
-hashed AS (
-  SELECT doc_id, sha2(text, 256) AS text_hash FROM corpus
+counts AS (
+  SELECT sha2(text, 256) AS text_hash, COUNT(*) AS n_copies,
+         MIN(doc_id) AS keeper_doc_id
+  FROM corpus
+  GROUP BY sha2(text, 256)
 ),
 stats AS (
-  SELECT COUNT(*) AS n_docs,
-         COUNT(DISTINCT text_hash) AS n_unique,
-         COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
-  FROM hashed
-),
-groups AS (
-  SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-  FROM hashed
-  GROUP BY text_hash
-  HAVING COUNT(*) > 1
+  SELECT SUM(n_copies) AS n_docs,
+         COUNT(*) AS n_unique,
+         SUM(n_copies) - COUNT(*) AS n_redundant
+  FROM counts
 )
-SELECT g.text_hash, g.n_copies, g.keeper_doc_id,
+SELECT c.text_hash, c.n_copies, c.keeper_doc_id,
        s.n_docs, s.n_unique, s.n_redundant
-FROM groups g CROSS JOIN stats s
+FROM counts c CROSS JOIN stats s
+WHERE c.n_copies > 1
 ORDER BY text_hash
 """
 
@@ -135,9 +142,10 @@ register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
 
 def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
                       cap: int = BUCKET_CAP, fanout: int = 64) -> str:
-    """CTE chain (Spark SQL) ending in `bands(doc_id, b, bkey)`:
-    rep-collapse → repartition(fanout) → shingle → hash → minhash →
-    band → bucket cap.
+    """CTE chain (Spark SQL) ending in `bands(doc_id, b, bkey)` (with a
+    `buckets(b, bkey, ds)` stage just below it):
+    rep-collapse → repartition(fanout) → shingle → explode → hash →
+    minhash (grouped MIN aggregates) → band → bucket collect + cap.
 
     The explicit REPARTITION after the rep-collapse is load-bearing
     (r4, measured): AQE coalesces shuffle reads by map-output BYTES,
@@ -150,11 +158,33 @@ def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
     stays moderate rather than maximal). An explicit partition count is
     exempt from AQE coalescing; bands_df passes 2×defaultParallelism.
     The same bytes-vs-CPU mismatch exists at 10^12 rows — derived-work
-    stages must partition by expected CPU, not by exchange bytes."""
+    stages must partition by expected CPU, not by exchange bytes.
+
+    r7 (optimization guide §4.1 "prefer codegen over interpreted"):
+    the minhash fold is {n_perms} codegen'd MIN aggregates over the
+    EXPLODED shingle-hash rows, not an interpreted aggregate/zip_with
+    lambda chain over a per-doc array. Measured at sf1.0 (50k docs,
+    ~2.6M shingles, 64 perms): the interpreted fold alone cost ~1.5 s
+    wall on 32 cores (~170M lambda invocations through Catalyst's
+    interpreter); the grouped-MIN formulation runs inside
+    WholeStageCodegen and, because the explode preserves the
+    REPARTITION(doc_id) partitioning, the GROUP BY doc_id needs NO new
+    exchange. min() over the permuted hash multiset is order- and
+    duplicate-insensitive, so values are bit-identical to the fold.
+
+    r7 bucket cap: COUNT(*) OVER (PARTITION BY b, bkey) → GROUP BY
+    (b, bkey) collecting the member list once (sort_array for
+    determinism), with the cap as HAVING. Same surviving rows, no
+    window sort, and the bucket arrays feed pair generation directly
+    (candidate_pairs) without the band-table self-join — which also
+    removes the need to checkpoint the band table."""
     n_perms = n_bands * rows_per_band
     bkey = SPARK_H64.format(
         x=f"concat_ws(':', transform(sequence(1, {rows_per_band}), "
           f"r -> cast(element_at(mins, b*{rows_per_band}+r) AS STRING)))")
+    mins_aggs = ", ".join(
+        f"MIN((h * {2 * j + 1} + {j} * 1000003L) % {_MERS})"
+        for j in range(n_perms))
     return f"""
 corpus AS ({corpus_sql}),
 reps AS (
@@ -168,43 +198,56 @@ reps AS (
   GROUP BY sha2(text, 256), length(text)
 ),
 toks AS (
-  SELECT /*+ REPARTITION({fanout}, doc_id) */
-         doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-  FROM reps
+  -- repartition the RAW rows; tokenize in a projection ABOVE the
+  -- exchange so the regex split runs at fanout parallelism, not on the
+  -- AQE-coalesced (bytes-sized, ~2-partition) rep-collapse output
+  SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM (SELECT /*+ REPARTITION({fanout}, doc_id) */ doc_id, text
+        FROM reps)
 ),
 sh AS (
-  SELECT doc_id, array_distinct({_SH3}) AS shingles
-  FROM toks WHERE size(ts) >= 3
+  -- per-doc FIRST aggregate (exchange-free: input is already
+  -- hash-partitioned by doc_id) serving as a predicate-pushdown
+  -- BARRIER: the explode below makes the optimizer infer a
+  -- size(shingles) > 0 filter, and without the barrier that filter is
+  -- substituted through the projections and re-evaluates the whole
+  -- tokenize→shingle→array_distinct chain ~3× BELOW the fanout
+  -- exchange (measured at sf1.0: +0.8 s wall on the 2 coalesced
+  -- pre-exchange partitions). The <3-token guard is the empty array —
+  -- explode of an empty array emits nothing, exactly the old
+  -- WHERE size(ts) >= 3 semantics (and no longer a pushable filter).
+  SELECT doc_id,
+         FIRST(CASE WHEN size(ts) >= 3 THEN array_distinct({_SH3})
+               ELSE array() END) AS shingles
+  FROM toks
+  GROUP BY doc_id
 ),
 hs AS (
-  SELECT doc_id,
-         transform(shingles, s -> {SPARK_H64.format(x='s')} % {_MERS}) AS hashes
+  SELECT doc_id, {SPARK_H64.format(x='s')} % {_MERS} AS h
   FROM sh
+  LATERAL VIEW explode(shingles) AS s
 ),
--- single-fold minhash: ONE pass over the hash array updating all
--- {n_perms} running minima (lambda variables only). The r3-early
--- formulation transform(sequence(0, P-1), j -> array_min(transform(
--- hashes, ...))) captured `hashes`, re-evaluating the whole
--- shingle→hash chain once per permutation after projection collapse.
+-- minhash as {n_perms} grouped MIN aggregates (codegen'd; exchange-free
+-- because explode preserves the REPARTITION(doc_id) partitioning)
 mh AS (
-  SELECT doc_id,
-         aggregate(hashes,
-           array_repeat(CAST({_MERS} AS BIGINT), {n_perms}),
-           (acc, h) -> zip_with(acc, sequence(0, {n_perms - 1}),
-               (m, j) -> least(m, (h * (2*j + 1) + j * 1000003L)
-                                  % {_MERS}))) AS mins
+  SELECT doc_id, array({mins_aggs}) AS mins
   FROM hs
+  GROUP BY doc_id
 ),
 bands0 AS (
   SELECT doc_id, b, {bkey} AS bkey
   FROM mh
   LATERAL VIEW explode(sequence(0, {n_bands - 1})) AS b
 ),
+buckets AS (
+  SELECT b, bkey, sort_array(collect_list(doc_id)) AS ds
+  FROM bands0
+  GROUP BY b, bkey
+  HAVING COUNT(*) <= {cap}
+),
 bands AS (
-  SELECT doc_id, b, bkey FROM (
-    SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz
-    FROM bands0) sized
-  WHERE bsz <= {cap}
+  SELECT doc_id, b, bkey FROM buckets
+  LATERAL VIEW explode(ds) AS doc_id
 )"""
 
 
@@ -277,34 +320,67 @@ def _cpu_fanout(spark) -> int:
 
 def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
              rows_per_band: int, cap: int = BUCKET_CAP):
-    """Materialize the guarded band-signature table once (see
-    operators.materialize — localCheckpoint locally, write+re-read on a
-    cluster via PDF_INSPECTOR_PERSIST=parquet) before any self-join:
-    without it Catalyst inlines the whole shingle→hash→minhash subtree
-    into BOTH join sides (~8× recompute)."""
+    """The guarded band-signature table (doc_id, b, bkey).
+
+    r7: no longer checkpointed here — candidate generation is an
+    in-bucket pair explosion (candidate_pairs below), not a band-table
+    self-join, so the shingle→hash→minhash subtree has exactly ONE
+    consumer and materializing it would only add an extra pass.
+    Iterative consumers (star contraction) still materialize their
+    edge tables via operators.materialize."""
     load_views(spark, sf_dir)
     chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap,
                               fanout=_cpu_fanout(spark))
-    return materialize(
-        spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands"),
-        "bands")
+    return spark.sql(f"WITH {chain} SELECT doc_id, b, bkey FROM bands")
+
+
+# Pair explosion over a sorted bucket-member array: (ds[i], ds[j]) for
+# all i < j — doc_a < doc_b for free because ds is sorted ascending.
+_PAIRS_EXPR = ("flatten(transform(ds, (x, i) -> "
+               "transform(slice(ds, i + 2, size(ds)), "
+               "y -> struct(x AS doc_a, y AS doc_b))))")
 
 
 def candidate_pairs(bands):
-    """Band-bucket equi-join → distinct rep-level candidate pairs."""
+    """Distinct rep-level candidate pairs sharing any band bucket.
+
+    r7 (optimization guide §2.4 "remove shuffles outright"): the band
+    bucket members are collected per (b, bkey) group and pairs emitted
+    by exploding in-bucket combinations — replacing the former
+    band-table self-join, which needed the band table checkpointed and
+    broadcast plus two join-side scans. The bucket cap bounds every
+    member list at BUCKET_CAP, so the per-group pair fan-out is ≤
+    C(cap, 2). Output is identical: pairs (a < b) co-bucketed in ≥1
+    band, de-duplicated across bands."""
     import pyspark.sql.functions as F
-    a, c = bands.alias("a"), bands.alias("c")
-    return (a.join(c, (F.col("a.b") == F.col("c.b"))
-                   & (F.col("a.bkey") == F.col("c.bkey"))
-                   & (F.col("a.doc_id") < F.col("c.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("c.doc_id").alias("doc_b"))
+    return (bands.groupBy("b", "bkey")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .where(F.size("ds") >= 2)
+            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"))
             .distinct())
 
 
+def candidate_pairs_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
+                       rows_per_band: int, cap: int = BUCKET_CAP):
+    """Candidate pairs straight from the chain's `buckets` stage —
+    skips the explode→regroup round trip candidate_pairs(bands_df(...))
+    would do (identical output; candidate_pairs stays the generic
+    entry point for an arbitrary band table)."""
+    load_views(spark, sf_dir)
+    chain = bands_chain_spark(corpus_sql, n_bands, rows_per_band, cap,
+                              fanout=_cpu_fanout(spark))
+    return spark.sql(f"""
+WITH {chain}
+SELECT DISTINCT doc_a, doc_b
+FROM (SELECT inline({_PAIRS_EXPR}) FROM buckets WHERE size(ds) >= 2) p
+""")
+
+
 def _minhash_spark(spark, sf_dir: str):
-    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
-    return candidate_pairs(bands).orderBy("doc_a", "doc_b")
+    return candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS,
+                              ROWS_PER_BAND).orderBy("doc_a", "doc_b")
 
 
 register("dedup_minhash_lsh", _minhash_spark,
@@ -319,8 +395,8 @@ def _minhash_prod_spark(spark, sf_dir: str):
     """Production geometry (64 perms as 16×4) over the re-crawl overlay —
     the exact-duplicate rep-collapse is non-vacuous here (the 50 overlay
     copies collapse to their originals before shingling)."""
-    bands = bands_df(spark, sf_dir, _RECRAWL, PROD_BANDS, PROD_ROWS)
-    return candidate_pairs(bands).orderBy("doc_a", "doc_b")
+    return candidate_pairs_df(spark, sf_dir, _RECRAWL, PROD_BANDS,
+                              PROD_ROWS).orderBy("doc_a", "doc_b")
 
 
 register("dedup_minhash_prod", _minhash_prod_spark,
@@ -335,32 +411,51 @@ register("dedup_minhash_prod", _minhash_prod_spark,
 # 16-bit SimHash over distinct-token hashes: bit b set iff the majority of
 # token hashes have bit b set.
 
+# r7 (guide §4.1, §2.5): the r2–r6 form ran an interpreted
+# aggregate/zip_with fold over a per-doc hash array — ~43M lambda
+# invocations at sf1.0 — on the RAW documents scan, whose parallelism is
+# the parquet row-group count (2 at sf1.0), so 0.8 s wall on 2 of 32
+# cores. Now: fanout repartition of the raw rows, tokenize above the
+# exchange, a per-doc FIRST-aggregate barrier (exchange-free; stops the
+# explode-inferred size(ts)>0 filter from re-evaluating the tokenize
+# chain below the exchange), then 16 codegen'd SUM aggregates over the
+# exploded token hashes. SUM of ±1 terms is order-insensitive and exact,
+# so the per-bit majority vote — and the assembled simhash — is
+# bit-identical to the fold.
+_SIMHASH_BITS = ", ".join(
+    f"SUM((shiftright(h, {b}) & 1L) * 2L - 1L) AS c{b}" for b in range(16))
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN c{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(16))
+
 _SIMHASH_SPARK = f"""
 WITH toks AS (
   SELECT doc_id,
          array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS ts
-  FROM documents
+  FROM (SELECT /*+ REPARTITION({{fanout}}, doc_id) */ doc_id, text
+        FROM documents)
 ),
-hs AS (
-  SELECT doc_id, transform(ts, t -> {SPARK_H64.format(x='t')}) AS hashes
-  FROM toks WHERE size(ts) > 0
+tsb AS (
+  SELECT doc_id, FIRST(ts) AS ts FROM toks GROUP BY doc_id
+),
+hx AS (
+  SELECT doc_id, {SPARK_H64.format(x='t')} AS h
+  FROM tsb
+  LATERAL VIEW explode(ts) AS t
+),
+cnt AS (
+  SELECT doc_id, {_SIMHASH_BITS}
+  FROM hx
+  GROUP BY doc_id
 )
--- single fold: one pass over hashes updating all 16 bit-counters, then
--- a 16-element reduction — the r2 form captured `hashes` in the per-bit
--- lambda, re-evaluating the token-hash chain 16× per document.
-SELECT doc_id,
-       aggregate(
-         zip_with(
-           aggregate(hashes, array_repeat(0L, 16),
-             (acc, h) -> zip_with(acc, sequence(0, 15),
-                 (c, b) -> c + (shiftright(h, b) & 1L) * 2L - 1L)),
-           sequence(0, 15),
-           (c, b) -> CASE WHEN c > 0 THEN CAST(shiftleft(1, b) AS BIGINT)
-                     ELSE 0L END),
-         0L, (acc, x) -> acc + x) AS simhash
-FROM hs
+SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash
+FROM cnt
 ORDER BY doc_id
 """
+
+
+def _simhash_spark(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    return spark.sql(_SIMHASH_SPARK.format(fanout=_cpu_fanout(spark)))
 
 _SIMHASH_DUCK = f"""
 WITH toks AS (
@@ -382,7 +477,7 @@ FROM hs
 ORDER BY doc_id
 """
 
-register("dedup_simhash", _sql(_SIMHASH_SPARK), _SIMHASH_DUCK,
+register("dedup_simhash", _simhash_spark, _SIMHASH_DUCK,
          "16-bit SimHash per document (majority vote over token-hash bits)")
 
 
@@ -410,16 +505,11 @@ WHERE size(ts) >= 3
 """
 
 _VERIFY_SPARK = """
-WITH cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM jac_bands a JOIN jac_bands c
-    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
-),
-scored AS (
+WITH scored AS (
   SELECT cand.doc_a, cand.doc_b,
          size(array_intersect(x.shingles, y.shingles)) AS n_inter,
          size(x.shingles) + size(y.shingles) AS sz
-  FROM cand JOIN jac_sh x ON x.doc_id = cand.doc_a
+  FROM jac_cand cand JOIN jac_sh x ON x.doc_id = cand.doc_a
             JOIN jac_sh y ON y.doc_id = cand.doc_b
 )
 SELECT doc_a, doc_b, n_inter,
@@ -432,15 +522,15 @@ ORDER BY doc_a, doc_b
 
 
 def _jaccard_spark(spark, sf_dir: str):
-    """Shingle table and guarded band table are each materialized once
-    (operators.materialize — persisted intermediate) so the
-    candidate self-join and the two verification joins reuse them instead
-    of recomputing the shingle subtree per join side."""
+    """The shingle table is materialized once (operators.materialize —
+    persisted intermediate) because BOTH verification join sides read
+    it; candidate pairs come from the in-bucket pair explosion (single
+    consumer, no materialization needed)."""
     load_views(spark, sf_dir)
     sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
-    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
-    bands.createOrReplaceTempView("jac_bands")
+    candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND) \
+        .createOrReplaceTempView("jac_cand")
     return spark.sql(_VERIFY_SPARK)
 
 
@@ -634,9 +724,8 @@ def star_components(edges, nodes, max_rounds: int = 20):
 def _cluster_star_spark(spark, sf_dir: str):
     import pyspark.sql.functions as F
 
-    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
     edges = materialize(
-        candidate_pairs(bands)
+        candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
         "star_in_edges")
     nodes = materialize(
@@ -672,8 +761,8 @@ def _verified_clusters_spark(spark, sf_dir: str):
     load_views(spark, sf_dir)
     sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
-    bands = bands_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND)
-    bands.createOrReplaceTempView("jac_bands")
+    candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND) \
+        .createOrReplaceTempView("jac_cand")
     verified = spark.sql(_VERIFY_SPARK)
     edges = materialize(
         verified.where(F.col("jaccard_milli") >= VERIFY_MILLI)

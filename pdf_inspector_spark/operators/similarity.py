@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from . import load_views, materialize, register
+from .dedup import _cpu_fanout
 from .textstats import DUCK_H64, SPARK_H64
 
 
@@ -67,10 +68,52 @@ ORDER BY qid, rnk
 """
 
 
-_TOPK_SPARK = _topk_sql(_DOT_SPARK, "!=")
 _TOPK_DUCK = _topk_sql(_DOT_DUCK, "<>")
 
-register("sim_cosine_topk", _sql(_TOPK_SPARK), _TOPK_DUCK,
+# r7 (guide §2.5 input parallelism + §3.1 build-side choice): the r4–r6
+# Spark side was the same SQL as the oracle; Spark planned it as
+# BroadcastNestedLoopJoin BuildRight — the full embeddings table (with
+# norms) BROADCAST and the 10-row query side STREAMED, so all 200k
+# pair-folds (10 queries × 20k vectors × 64 interpreted lambda steps at
+# sf1.0) ran in the 1–2 tasks of the query-side scan (the parquet file
+# has 2 row groups): 2.4 s wall, ~serial. Now the corpus side is
+# hash-repartitioned to CPU fanout and STREAMED while the 10-row query
+# side is broadcast, so the pair folds run at full parallelism. The dot
+# expression, tie-break and rounding are unchanged — every cos_sim and
+# rank is bit-identical.
+_TOPK_SPARK_TMPL = f"""
+WITH em AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_SPARK.format(a='embedding', b='embedding')}) AS nrm
+  FROM (SELECT /*+ REPARTITION({{fanout}}, vec_id) */ vec_id, embedding
+        FROM embeddings)
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM em WHERE vec_id < 10
+),
+pairs AS (
+  SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id AS nid,
+         {_DOT_SPARK.format(a='q.qe', b='e.embedding')} AS dot,
+         q.qn, e.nrm AS en
+  FROM em e JOIN q ON e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, nid, ROUND(dot / (qn * en), 3) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot / (qn * en) DESC, nid) AS rnk
+  FROM pairs
+)
+SELECT qid, rnk, nid, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+def _topk_spark(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    return spark.sql(_TOPK_SPARK_TMPL.format(fanout=_cpu_fanout(spark)))
+
+
+register("sim_cosine_topk", _topk_spark, _TOPK_DUCK,
          "brute-force cosine top-5 for 10 query vectors (deterministic "
          "index-ordered double fold)")
 

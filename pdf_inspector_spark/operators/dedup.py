@@ -113,9 +113,14 @@ counts AS (
   GROUP BY sha2(text, 256)
 ),
 stats AS (
+  -- COUNT(keeper_doc_id), not COUNT(*): keeper is never NULL so the
+  -- value is identical, but referencing it stops column pruning from
+  -- dropping min(doc_id) out of this branch's partial aggregate —
+  -- which would make the two exchange subtrees differ and defeat
+  -- ReuseExchange (verified in the executed plan).
   SELECT SUM(n_copies) AS n_docs,
-         COUNT(*) AS n_unique,
-         SUM(n_copies) - COUNT(*) AS n_redundant
+         COUNT(keeper_doc_id) AS n_unique,
+         SUM(n_copies) - COUNT(keeper_doc_id) AS n_redundant
   FROM counts
 )
 SELECT c.text_hash, c.n_copies, c.keeper_doc_id,

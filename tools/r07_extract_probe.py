@@ -43,8 +43,11 @@ def noop(d):
     d.write.format("noop").mode("overwrite").save()
 
 
+from typing import Iterator  # noqa: E402
+
+
 @F.pandas_udf("long")
-def _lenudf(it):
+def _lenudf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for batch in it:
         yield batch.str.len()
 

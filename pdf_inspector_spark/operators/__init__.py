@@ -62,6 +62,14 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     _LOADED_VIEWS[id(spark)] = (spark, sf_dir)
 
 
+def cpu_fanout(spark: SparkSession) -> int:
+    """Partition count for CPU-dense derived-work stages: 2×cores —
+    even waves without per-task-overhead inflation (measured sweep in
+    BENCH.md r4; rationale in dedup.bands_chain_spark). Lives here so
+    every operator module can use it without import cycles."""
+    return max(2 * spark.sparkContext.defaultParallelism, 16)
+
+
 def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
     """Persisted intermediate for subtrees that feed multiple joins
     (LSH signature/shingle tables, IVF assignment rounds): without it

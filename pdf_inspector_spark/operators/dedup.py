@@ -183,13 +183,6 @@ def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
     window sort, and the bucket arrays feed pair generation directly
     (candidate_pairs) without the band-table self-join — which also
     removes the need to checkpoint the band table."""
-    n_perms = n_bands * rows_per_band
-    bkey = SPARK_H64.format(
-        x=f"concat_ws(':', transform(sequence(1, {rows_per_band}), "
-          f"r -> cast(element_at(mins, b*{rows_per_band}+r) AS STRING)))")
-    mins_aggs = ", ".join(
-        f"MIN((h * {2 * j + 1} + {j} * 1000003L) % {_MERS})"
-        for j in range(n_perms))
     return f"""
 corpus AS ({corpus_sql}),
 reps AS (
@@ -227,9 +220,28 @@ sh AS (
   FROM toks
   GROUP BY doc_id
 ),
-hs AS (
+{_bands_tail(n_bands, rows_per_band, cap, src='sh')}"""
+
+
+def _bands_tail(n_bands: int, rows_per_band: int, cap: int,
+                src: str) -> str:
+    """The hash→minhash→band→bucket tail of the chain, over any source
+    relation with (doc_id, shingles) columns — shared between the full
+    corpus chain (src='sh') and the jaccard family, which materializes
+    ONE shingle table and feeds it to both the band chain and the
+    verification joins (r7: previously the chain rebuilt reps→tokenize→
+    shingles from scratch next to the materialized jac_sh — a whole
+    duplicate pass)."""
+    n_perms = n_bands * rows_per_band
+    bkey = SPARK_H64.format(
+        x=f"concat_ws(':', transform(sequence(1, {rows_per_band}), "
+          f"r -> cast(element_at(mins, b*{rows_per_band}+r) AS STRING)))")
+    mins_aggs = ", ".join(
+        f"MIN((h * {2 * j + 1} + {j} * 1000003L) % {_MERS})"
+        for j in range(n_perms))
+    return f"""hs AS (
   SELECT doc_id, {SPARK_H64.format(x='s')} % {_MERS} AS h
-  FROM sh
+  FROM {src}
   LATERAL VIEW explode(shingles) AS s
 ),
 -- minhash as {n_perms} grouped MIN aggregates (codegen'd; exchange-free
@@ -317,10 +329,11 @@ ORDER BY doc_a, doc_b
 
 
 def _cpu_fanout(spark) -> int:
-    """Partition count for CPU-dense derived-work stages: 2×cores —
-    even waves without per-task-overhead inflation (see
-    bands_chain_spark docstring; fanout sweep in BENCH.md r4)."""
-    return max(2 * spark.sparkContext.defaultParallelism, 16)
+    """Back-compat alias — the shared implementation lives in
+    operators.cpu_fanout (textstats/similarity need it too and dedup
+    imports from textstats, so it cannot live here)."""
+    from . import cpu_fanout
+    return cpu_fanout(spark)
 
 
 def bands_df(spark, sf_dir: str, corpus_sql: str, n_bands: int,
@@ -494,19 +507,31 @@ register("dedup_simhash", _simhash_spark, _SIMHASH_DUCK,
 # candidate pair.
 
 def _shingles_spark_sql(fanout: int = 64) -> str:
-    # explicit REPARTITION after the rep-collapse for the same
-    # bytes-vs-CPU reason as bands_chain_spark (see its docstring)
+    # same repartition-raw-rows + per-doc-aggregate-barrier structure as
+    # bands_chain_spark (see its docstrings): tokenize above the fanout
+    # exchange, and no pushable size(ts) filter — the final
+    # size(shingles) > 0 filter sits on the aggregate's output column,
+    # which cannot be substituted below it (it is exactly the old
+    # WHERE size(ts) >= 3 row set: ≥3 tokens ⇒ ≥1 shingle).
     return f"""
 WITH reps AS (
   SELECT MIN(doc_id) AS doc_id, FIRST(text) AS text
   FROM documents
   GROUP BY sha2(text, 256), length(text)
+),
+toks AS (
+  SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
+  FROM (SELECT /*+ REPARTITION({fanout}, doc_id) */ doc_id, text
+        FROM reps)
+),
+gb AS (
+  SELECT doc_id,
+         FIRST(CASE WHEN size(ts) >= 3 THEN array_distinct({_SH3})
+               ELSE array() END) AS shingles
+  FROM toks
+  GROUP BY doc_id
 )
-SELECT doc_id, array_distinct({_SH3}) AS shingles
-FROM (SELECT /*+ REPARTITION({fanout}, doc_id) */
-             doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-      FROM reps)
-WHERE size(ts) >= 3
+SELECT doc_id, shingles FROM gb WHERE size(shingles) > 0
 """
 
 _VERIFY_SPARK = """
@@ -526,15 +551,31 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _pairs_from_view(spark, shingle_view: str, n_bands: int,
+                     rows_per_band: int, cap: int = BUCKET_CAP):
+    """Candidate pairs from an existing (doc_id, shingles) relation —
+    lets the jaccard family reuse its materialized shingle table for
+    the band chain instead of rebuilding reps→tokenize→shingles (r7:
+    that duplicate pass cost ~0.5 s of the 1.3 s jaccard total at
+    sf0.1). Band/bucket/pair semantics identical to candidate_pairs_df:
+    docs excluded by the view's size filter had no shingles and never
+    produced band rows anyway."""
+    chain = _bands_tail(n_bands, rows_per_band, cap, src=shingle_view)
+    return spark.sql(f"""
+WITH {chain}
+SELECT DISTINCT doc_a, doc_b
+FROM (SELECT inline({_PAIRS_EXPR}) FROM buckets WHERE size(ds) >= 2) p
+""")
+
+
 def _jaccard_spark(spark, sf_dir: str):
-    """The shingle table is materialized once (operators.materialize —
-    persisted intermediate) because BOTH verification join sides read
-    it; candidate pairs come from the in-bucket pair explosion (single
-    consumer, no materialization needed)."""
+    """ONE materialized shingle table (operators.materialize — persisted
+    intermediate) feeds all three consumers: the band chain and both
+    verification join sides."""
     load_views(spark, sf_dir)
     sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
-    candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND) \
+    _pairs_from_view(spark, "jac_sh", N_BANDS, ROWS_PER_BAND) \
         .createOrReplaceTempView("jac_cand")
     return spark.sql(_VERIFY_SPARK)
 
@@ -766,7 +807,7 @@ def _verified_clusters_spark(spark, sf_dir: str):
     load_views(spark, sf_dir)
     sh = materialize(spark.sql(_shingles_spark_sql(_cpu_fanout(spark))))
     sh.createOrReplaceTempView("jac_sh")
-    candidate_pairs_df(spark, sf_dir, _DOCS, N_BANDS, ROWS_PER_BAND) \
+    _pairs_from_view(spark, "jac_sh", N_BANDS, ROWS_PER_BAND) \
         .createOrReplaceTempView("jac_cand")
     verified = spark.sql(_VERIFY_SPARK)
     edges = materialize(

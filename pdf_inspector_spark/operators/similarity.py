@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from . import load_views, materialize, register
@@ -162,6 +163,9 @@ _PLANES8 = _milli_matrix([str(p) for p in range(8)])
 _PLANE_SPARK = _plane_spark(_arr2_spark(_PLANES8), "p")
 _PLANE_DUCK = _plane_duck("p")
 
+# r7: signature folds (8 planes × 64 dims, interpreted) moved above a
+# fanout repartition of the raw rows — the embeddings scan is
+# row-group-bound (1 row group at every sf), so the folds ran ~serial.
 _LSH_SPARK = f"""
 WITH sigs AS (
   SELECT vec_id,
@@ -170,7 +174,8 @@ WITH sigs AS (
                   (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE)
                             * {_PLANE_SPARK}) > 0
                 THEN CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) ELSE 0L END) AS bucket
-  FROM embeddings
+  FROM (SELECT /*+ REPARTITION(64, vec_id) */ vec_id, embedding
+        FROM embeddings)
 )
 SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
 FROM sigs
@@ -265,7 +270,20 @@ FROM neardup_corpus
 LATERAL VIEW explode(sequence(0, {NEARDUP_BANDS - 1})) AS band
 """
 
-_NEARDUP_VERIFY_SPARK = f"""
+# r7: the verification stage dominated this operator (measured 10.2 s
+# of an 11.7 s total at sf0.1): the 6-band × 6-bit geometry admits
+# ~9.4% of all pairs as candidates BY DESIGN (212k pairs from 2,080
+# vectors — uniform buckets, not skew), and each pair evaluated THREE
+# interpreted 64-step folds (dot + both norms, the same per-pair-norm
+# recompute r4 fixed in sim_cosine_topk). Now: norms are computed once
+# per vector on the materialized corpus, and the per-pair dot runs in a
+# vectorized Arrow-batched pandas UDF whose accumulation is an explicit
+# index-ordered loop over the 64 dims — per pair the identical IEEE-754
+# left fold as the SQL aggregate(...) expression and DuckDB's list_sum,
+# so every dot (and every rounded cos_sim) is bit-identical. The UDF is
+# registered asNondeterministic so the ≥0.95 filter cannot be pushed
+# below (or duplicate) the Python projection (guide §4.4).
+_NEARDUP_VERIFY_SPARK = """
 WITH cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM neardup_sigs a JOIN neardup_sigs b
@@ -273,9 +291,8 @@ WITH cand AS (
 ),
 pairs AS (
   SELECT cand.vec_a, cand.vec_b,
-         {_EDOT_SPARK.format(a='x.e', b='y.e')} AS dot,
-         sqrt({_EDOT_SPARK.format(a='x.e', b='x.e')}) AS na,
-         sqrt({_EDOT_SPARK.format(a='y.e', b='y.e')}) AS nb
+         nd_dot64(x.e, y.e) AS dot,
+         x.nrm AS na, y.nrm AS nb
   FROM cand JOIN neardup_corpus x ON x.vec_id = cand.vec_a
             JOIN neardup_corpus y ON y.vec_id = cand.vec_b
 )
@@ -286,12 +303,41 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _make_dot64():
+    import pyspark.sql.functions as F
+
+    @F.pandas_udf("double")
+    def _dot64(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.values)
+        bv = np.stack(b.values)
+        # explicit per-index accumulation: for every pair the adds
+        # happen in dim order, reproducing the SQL left fold bit-for-bit
+        acc = np.zeros(len(a), dtype=np.float64)
+        for i in range(av.shape[1]):
+            acc += av[:, i] * bv[:, i]
+        return pd.Series(acc)
+
+    return _dot64.asNondeterministic()
+
+
 def _neardup_spark(spark: SparkSession, sf_dir: str):
-    """Corpus and band-signature tables materialized once
-    (operators.materialize) so the band self-join and the two verification
-    joins do not recompute the projections per join side."""
+    """Corpus (with per-vector norms) and band-signature tables
+    materialized once (operators.materialize) so the band self-join and
+    the two verification joins do not recompute the projections per
+    join side. The corpus is fanout-repartitioned BEFORE
+    materialization so the signature folds (4.8M interpreted lambda
+    steps at sf0.1) and the pair verification run at full parallelism
+    instead of on the 1-row-group embeddings scan."""
     load_views(spark, sf_dir)
-    corpus = materialize(spark.sql(_NEARDUP_CORPUS_SPARK))
+    spark.udf.register("nd_dot64", _make_dot64())
+    fanout = _cpu_fanout(spark)
+    corpus = materialize(spark.sql(f"""
+        SELECT vec_id, e, sqrt({_EDOT_SPARK.format(a='e', b='e')}) AS nrm
+        FROM (SELECT /*+ REPARTITION({fanout}, vec_id) */ vec_id, e
+              FROM ({_NEARDUP_CORPUS_SPARK}))"""))
     corpus.createOrReplaceTempView("neardup_corpus")
     sigs = materialize(spark.sql(_NEARDUP_SIGS_SPARK))
     sigs.createOrReplaceTempView("neardup_sigs")
@@ -348,19 +394,34 @@ _CENT_SPARK = _plane_spark(_arr2_spark(_CENTS8), "c")
 _CENT_DUCK = ("((" + DUCK_H64.format(x="'c' || c::VARCHAR || '_' || i::VARCHAR")
               + " % 1000)::DOUBLE / 1000.0 - 0.5)")
 
-_ASSIGN_SPARK = f"""
+# r7: the r3–r6 form evaluated the 8-centroid score transform TWICE
+# (once inside array_position, once inside array_max) — 2×8×64
+# interpreted fold steps per vector, on the 1-row-group embeddings
+# scan. Now the scores array is computed once in a subquery (Spark's
+# CollapseProject declines to duplicate non-cheap expressions, verified
+# in the plan) and the raw rows are fanout-repartitioned first so the
+# folds run at full parallelism. array_position(scores,
+# array_max(scores)) over ONE array equals the old two-copy form —
+# same values, same first-max index.
+
+
+def _assign_spark(fanout: int) -> str:
+    return f"""
   SELECT vec_id, embedding,
-         array_position(
+         array_position(scores, array_max(scores)) - 1 AS centroid
+  FROM (
+    SELECT vec_id, embedding,
            transform(sequence(0, 7), c ->
              aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-               (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) * {_CENT_SPARK})),
-           array_max(
-             transform(sequence(0, 7), c ->
-               aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-                 (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) * {_CENT_SPARK})))
-         ) - 1 AS centroid
-  FROM embeddings
+               (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE)
+                             * {_CENT_SPARK})) AS scores
+    FROM (SELECT /*+ REPARTITION({fanout}, vec_id) */ vec_id, embedding
+          FROM embeddings)
+  )
 """
+
+
+_ASSIGN_SPARK = _assign_spark(64)
 
 _ASSIGN_DUCK = f"""
   SELECT vec_id, embedding,
@@ -522,7 +583,14 @@ ORDER BY q.qid
 _MULTIPROBE_SPARK = _multiprobe_sql(_ASSIGN_SPARK, _QC_SPARK, _DOT_SPARK)
 _MULTIPROBE_DUCK = _multiprobe_sql(_ASSIGN_DUCK, _QC_DUCK, _DOT_DUCK)
 
-register("sim_ivf_multiprobe", _sql(_MULTIPROBE_SPARK), _MULTIPROBE_DUCK,
+
+def _multiprobe_spark_fn(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    return spark.sql(_multiprobe_sql(_assign_spark(_cpu_fanout(spark)),
+                                     _QC_SPARK, _DOT_SPARK))
+
+
+register("sim_ivf_multiprobe", _multiprobe_spark_fn, _MULTIPROBE_DUCK,
          "multi-probe IVF ANN: recall@3 vs exact brute-force ground truth "
          "for nprobe=1 and nprobe=2 (per-query integer hit counts — the "
          "recall/cost dial, gated)")
@@ -670,7 +738,7 @@ def ivf_train(spark: SparkSession, sf_dir: str,
 
     load_views(spark, sf_dir)
     q = spark.sql(
-        f"WITH assign0 AS ({_ASSIGN_SPARK}) "
+        f"WITH assign0 AS ({_assign_spark(_cpu_fanout(spark))}) "
         f"SELECT vec_id, embedding, centroid AS c0, {_QUANT_SPARK} AS qe "
         "FROM assign0")
     q = materialize(q, "ivf_q")

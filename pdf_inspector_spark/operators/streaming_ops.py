@@ -25,12 +25,30 @@ _SEQ = [0]
 def _run_available_now(stream_df, name_prefix: str, spark: SparkSession):
     """Run a streaming aggregation to completion into a memory sink and
     return the final table. Unique sink name per invocation (memory-sink
-    query names are session-global)."""
+    query names are session-global).
+
+    r7: the stateful aggregation is run with a state-cardinality-sized
+    shuffle-partition count instead of the session's batch default.
+    Every state store instance costs per-micro-batch setup, and these
+    aggregations have intrinsically SMALL state (distinct sources;
+    time-bounded hourly windows — ~8.8k rows/year even at 10^12
+    events), so 64 batch-sized partitions were pure state-store
+    overhead: measured 1.62 s → 0.76 s at sf0.1 with 8. Overridable for
+    deployments with genuinely wide state via
+    PDF_INSPECTOR_STREAM_STATE_PARTITIONS. The session conf is restored
+    after the bounded run, so batch queries are unaffected."""
+    import os
     _SEQ[0] += 1
     name = f"{name_prefix}_{_SEQ[0]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = os.environ.get("PDF_INSPECTOR_STREAM_STATE_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -254,7 +254,18 @@ for _k in range(2, 9):
     _G8 = (f"zip_with({_G8}, slice(ts, {_k}, size(ts) - 7), "
            "(a, b) -> concat(a, ' ', b))")
 
-_DECON_SPARK = f"""
+# r7: the gram table is referenced THREE times (bench set, candidate
+# side, the distinct-doc spine) and Spark inlines CTEs — the whole
+# tokenize→8-gram→md5 chain ran 3× per query, on the row-group-bound
+# (~2-partition) documents scan. Now the grams are built once behind
+# the fanout repartition + per-doc FIRST barrier (same pattern and
+# rationale as dedup.bands_chain_spark: the barrier stops the
+# explode-inferred size>0 filter from re-evaluating the gram chain
+# below the exchange; ELSE array() ≡ the old WHERE size(ts) >= 8) and
+# materialized (operators.materialize), so the three consumers read the
+# checkpointed 60-bit hash rows. The bench side stays the small side of
+# the join — the 10^12-row scale story is unchanged.
+_DECON_GRAMS_TMPL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -262,18 +273,29 @@ WITH corpus AS (
 ),
 toks AS (
   SELECT doc_id, filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts
-  FROM corpus
+  FROM (SELECT /*+ REPARTITION({{fanout}}, doc_id) */ doc_id, text
+        FROM corpus)
 ),
-grams AS (
-  SELECT doc_id, explode(array_distinct(transform({_G8},
-             g -> {SPARK_H64.format(x='g')}))) AS gh
-  FROM toks WHERE size(ts) >= 8
-),
-bench AS (
-  SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 1000000
+gb AS (
+  SELECT doc_id,
+         FIRST(CASE WHEN size(ts) >= 8
+               THEN array_distinct(transform({_G8},
+                        g -> {SPARK_H64.format(x='g')}))
+               ELSE array() END) AS ghs
+  FROM toks
+  GROUP BY doc_id
+)
+SELECT doc_id, explode(ghs) AS gh FROM gb
+"""
+
+_DECON_SPARK_TAIL = """
+WITH bench AS (
+  SELECT DISTINCT gh FROM decon_grams
+  WHERE doc_id % 50 = 0 AND doc_id < 1000000
 ),
 cand AS (
-  SELECT doc_id, gh FROM grams WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+  SELECT doc_id, gh FROM decon_grams
+  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
 ),
 hits AS (
   SELECT c.doc_id, COUNT(*) AS n_hits
@@ -283,11 +305,20 @@ hits AS (
 SELECT t.doc_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_overlap_8grams,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
-FROM (SELECT DISTINCT doc_id FROM grams
+FROM (SELECT DISTINCT doc_id FROM decon_grams
       WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)) t
 LEFT JOIN hits h ON h.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
+
+
+def _decon_spark(spark: SparkSession, sf_dir: str):
+    from . import cpu_fanout, materialize
+    load_views(spark, sf_dir)
+    grams = materialize(spark.sql(
+        _DECON_GRAMS_TMPL.format(fanout=cpu_fanout(spark))), "decon_grams")
+    grams.createOrReplaceTempView("decon_grams")
+    return spark.sql(_DECON_SPARK_TAIL)
 
 _DECON_DUCK = f"""
 WITH corpus AS (
@@ -325,7 +356,7 @@ LEFT JOIN hits h ON h.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
 
-register("text_decontamination", _sql(_DECON_SPARK), _DECON_DUCK,
+register("text_decontamination", _decon_spark, _DECON_DUCK,
          "train/test decontamination: word-8-gram overlap vs a benchmark "
          "subset (hash-gram broadcast join; leaked-benchmark overlay)")
 

@@ -130,7 +130,36 @@ WHERE c.n_copies > 1
 ORDER BY text_hash
 """
 
-_EXACT_DUCK = _EXACT_SPARK.replace("sha2(text, 256)", "sha256(text)")
+# The ORACLE text is FROZEN verbatim at its round-start form (the
+# driver fingerprints oracle SQL; only the Spark side above was
+# restructured — both compute the identical result set). Do NOT derive
+# this from _EXACT_SPARK again.
+_EXACT_DUCK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT doc_id, sha256(text) AS text_hash FROM corpus
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT text_hash) AS n_unique,
+         COUNT(*) - COUNT(DISTINCT text_hash) AS n_redundant
+  FROM hashed
+),
+groups AS (
+  SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+  FROM hashed
+  GROUP BY text_hash
+  HAVING COUNT(*) > 1
+)
+SELECT g.text_hash, g.n_copies, g.keeper_doc_id,
+       s.n_docs, s.n_unique, s.n_redundant
+FROM groups g CROSS JOIN stats s
+ORDER BY text_hash
+"""
 
 register("dedup_exact_groups", _sql(_EXACT_SPARK), _EXACT_DUCK,
          "exact duplicate groups via full-sha256 groupBy (map-side "

@@ -37,7 +37,13 @@ def _ensure(spark: SparkSession):
 
 
 def _features_spark(spark: SparkSession, sf_dir: str):
+    from . import cpu_fanout
     df, _ = _ensure(spark)
+    # r7: the media parquet has 4 row groups, so the mapInPandas feature
+    # stage (which includes real per-image pixel/JPEG entropy decode)
+    # ran on 4 of 32 cores. Hash-repartition by media_id first — the
+    # per-row kernel is partition-independent, so results are unchanged.
+    df = df.repartition(cpu_fanout(spark), "media_id")
     return media_features(df).orderBy("media_id")
 
 

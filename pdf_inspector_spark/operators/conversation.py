@@ -78,8 +78,9 @@ def assemble_docs(result: DataFrame,
     # Materialized once: three aggregations (stats, full_len, kept)
     # branch off this frame, and without the persist Catalyst inlines
     # the grouped-map Python stage plus its upstream scan/shuffle into
-    # each consumer (~3x recompute — the same self-join pathology
-    # dedup.py's bands_df materializes to avoid).
+    # each consumer (~3x recompute — the multi-consumer subtree
+    # pathology operators.materialize exists for; dedup's jaccard
+    # family materializes its shingle table for the same reason).
     blocks = materialize(
         result.select("conv_id", "turn_idx", "text_out")
         .withColumn("blk", (F.col("turn_idx").cast("long")

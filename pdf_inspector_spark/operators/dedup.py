@@ -113,14 +113,18 @@ counts AS (
   GROUP BY sha2(text, 256)
 ),
 stats AS (
-  -- COUNT(keeper_doc_id), not COUNT(*): keeper is never NULL so the
-  -- value is identical, but referencing it stops column pruning from
-  -- dropping min(doc_id) out of this branch's partial aggregate —
+  -- The count expression references keeper_doc_id so column pruning
+  -- cannot drop min(doc_id) out of this branch's partial aggregate —
   -- which would make the two exchange subtrees differ and defeat
-  -- ReuseExchange (verified in the executed plan).
+  -- ReuseExchange (verified in the executed plan). The CASE keeps the
+  -- frozen oracle's COUNT(DISTINCT text_hash) NULL semantics exactly:
+  -- a NULL-text group (NULL hash, non-NULL keeper) must NOT count
+  -- toward n_unique.
   SELECT SUM(n_copies) AS n_docs,
-         COUNT(keeper_doc_id) AS n_unique,
-         SUM(n_copies) - COUNT(keeper_doc_id) AS n_redundant
+         COUNT(CASE WHEN text_hash IS NOT NULL
+               THEN keeper_doc_id END) AS n_unique,
+         SUM(n_copies) - COUNT(CASE WHEN text_hash IS NOT NULL
+                               THEN keeper_doc_id END) AS n_redundant
   FROM counts
 )
 SELECT c.text_hash, c.n_copies, c.keeper_doc_id,
@@ -206,12 +210,16 @@ def bands_chain_spark(corpus_sql: str, n_bands: int, rows_per_band: int,
     exchange. min() over the permuted hash multiset is order- and
     duplicate-insensitive, so values are bit-identical to the fold.
 
-    r7 bucket cap: COUNT(*) OVER (PARTITION BY b, bkey) → GROUP BY
-    (b, bkey) collecting the member list once (sort_array for
-    determinism), with the cap as HAVING. Same surviving rows, no
-    window sort, and the bucket arrays feed pair generation directly
-    (candidate_pairs) without the band-table self-join — which also
-    removes the need to checkpoint the band table."""
+    r7 candidate generation: the capped band rows are grouped once into
+    bucket member arrays (exchange-free — the cap window's partitioning
+    is the group's clustering; arrays bounded by the cap, so the
+    collect buffer is always small) and pairs come from in-bucket
+    combination explosion — no band-table self-join, which also removes
+    the need to checkpoint the band table. The cap itself STAYS a
+    window count (spillable sort): a HAVING over the collect aggregate
+    was tried and rejected because a degenerate mega-bucket would
+    materialize its whole member list in one unspillable aggregation
+    buffer before being dropped."""
     return f"""
 corpus AS ({corpus_sql}),
 reps AS (
@@ -285,15 +293,24 @@ bands0 AS (
   FROM mh
   LATERAL VIEW explode(sequence(0, {n_bands - 1})) AS b
 ),
-buckets AS (
-  SELECT b, bkey, sort_array(collect_list(doc_id)) AS ds
-  FROM bands0
-  GROUP BY b, bkey
-  HAVING COUNT(*) <= {cap}
-),
+-- bucket cap as a WINDOW count (spillable sort), NOT a HAVING over a
+-- collect_list aggregate: a degenerate mega-bucket (millions of
+-- byte-distinct docs with one token stream) must be DROPPED without
+-- ever materializing its member list in a single unspillable
+-- aggregation buffer. The member collect below therefore only ever
+-- sees buckets already capped at {cap} members.
 bands AS (
-  SELECT doc_id, b, bkey FROM buckets
-  LATERAL VIEW explode(ds) AS doc_id
+  SELECT doc_id, b, bkey FROM (
+    SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS bsz
+    FROM bands0) sized
+  WHERE bsz <= {cap}
+),
+buckets AS (
+  -- exchange-free: the window's hashpartitioning(b, bkey) is exactly
+  -- this group's clustering; arrays bounded by the cap above
+  SELECT b, bkey, sort_array(collect_list(doc_id)) AS ds
+  FROM bands
+  GROUP BY b, bkey
 )"""
 
 
@@ -434,8 +451,9 @@ register("dedup_minhash_lsh", _minhash_spark,
          _pairs_duck(_DOCS, N_BANDS, ROWS_PER_BAND),
          f"MinHash({N_BANDS * ROWS_PER_BAND})+LSH({N_BANDS} bands×"
          f"{ROWS_PER_BAND} rows) candidate pairs; rep-collapse + bucket "
-         "cap guard; signature table materialized once, band join "
-         "shuffles only (band, key, doc_id)")
+         "cap guard; codegen'd grouped-MIN minhash, pairs by in-bucket "
+         "explosion (no band self-join); only (band, key, doc_id) ever "
+         "shuffles")
 
 
 def _minhash_prod_spark(spark, sf_dir: str):

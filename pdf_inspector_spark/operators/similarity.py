@@ -13,8 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from . import load_views, materialize, register
-from .dedup import _cpu_fanout
+from . import cpu_fanout, load_views, materialize, register
 from .textstats import DUCK_H64, SPARK_H64
 
 
@@ -111,7 +110,7 @@ ORDER BY qid, rnk
 
 def _topk_spark(spark: SparkSession, sf_dir: str):
     load_views(spark, sf_dir)
-    return spark.sql(_TOPK_SPARK_TMPL.format(fanout=_cpu_fanout(spark)))
+    return spark.sql(_TOPK_SPARK_TMPL.format(fanout=cpu_fanout(spark)))
 
 
 register("sim_cosine_topk", _topk_spark, _TOPK_DUCK,
@@ -166,7 +165,7 @@ _PLANE_DUCK = _plane_duck("p")
 # r7: signature folds (8 planes × 64 dims, interpreted) moved above a
 # fanout repartition of the raw rows — the embeddings scan is
 # row-group-bound (1 row group at every sf), so the folds ran ~serial.
-_LSH_SPARK = f"""
+_LSH_SPARK_TMPL = f"""
 WITH sigs AS (
   SELECT vec_id,
          aggregate(sequence(0, 7), 0L, (acc, p) -> acc +
@@ -174,7 +173,7 @@ WITH sigs AS (
                   (a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE)
                             * {_PLANE_SPARK}) > 0
                 THEN CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) ELSE 0L END) AS bucket
-  FROM (SELECT /*+ REPARTITION(64, vec_id) */ vec_id, embedding
+  FROM (SELECT /*+ REPARTITION({{fanout}}, vec_id) */ vec_id, embedding
         FROM embeddings)
 )
 SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
@@ -182,6 +181,11 @@ FROM sigs
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def _lsh_spark(spark: SparkSession, sf_dir: str):
+    load_views(spark, sf_dir)
+    return spark.sql(_LSH_SPARK_TMPL.format(fanout=cpu_fanout(spark)))
 
 _LSH_DUCK = f"""
 WITH sigs AS (
@@ -198,7 +202,7 @@ GROUP BY bucket
 ORDER BY bucket
 """
 
-register("sim_lsh_buckets", _sql(_LSH_SPARK), _LSH_DUCK,
+register("sim_lsh_buckets", _lsh_spark, _LSH_DUCK,
          "sign-random-projection LSH bucketing (8-bit signatures) — the "
          "ANN scale path; candidates join on bucket instead of cross join")
 
@@ -333,7 +337,7 @@ def _neardup_spark(spark: SparkSession, sf_dir: str):
     instead of on the 1-row-group embeddings scan."""
     load_views(spark, sf_dir)
     spark.udf.register("nd_dot64", _make_dot64())
-    fanout = _cpu_fanout(spark)
+    fanout = cpu_fanout(spark)
     corpus = materialize(spark.sql(f"""
         SELECT vec_id, e, sqrt({_EDOT_SPARK.format(a='e', b='e')}) AS nrm
         FROM (SELECT /*+ REPARTITION({fanout}, vec_id) */ vec_id, e
@@ -586,7 +590,7 @@ _MULTIPROBE_DUCK = _multiprobe_sql(_ASSIGN_DUCK, _QC_DUCK, _DOT_DUCK)
 
 def _multiprobe_spark_fn(spark: SparkSession, sf_dir: str):
     load_views(spark, sf_dir)
-    return spark.sql(_multiprobe_sql(_assign_spark(_cpu_fanout(spark)),
+    return spark.sql(_multiprobe_sql(_assign_spark(cpu_fanout(spark)),
                                      _QC_SPARK, _DOT_SPARK))
 
 
@@ -738,7 +742,7 @@ def ivf_train(spark: SparkSession, sf_dir: str,
 
     load_views(spark, sf_dir)
     q = spark.sql(
-        f"WITH assign0 AS ({_assign_spark(_cpu_fanout(spark))}) "
+        f"WITH assign0 AS ({_assign_spark(cpu_fanout(spark))}) "
         f"SELECT vec_id, embedding, centroid AS c0, {_QUANT_SPARK} AS qe "
         "FROM assign0")
     q = materialize(q, "ivf_q")

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from . import cpu_fanout, load_views, materialize, register
-from .textstats import DUCK_H64, SPARK_H64
+from .textstats import DUCK_H64
 
 
 def _sql(query: str):

@@ -746,6 +746,7 @@ def star_components(edges, nodes, max_rounds: int = 20):
     converged after max_rounds (silent wrong labels are worse than a
     loud failure — tune max_rounds upward for adversarial graphs)."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Observation
 
     def large_star(e):
         # undirected neighborhood; attach strictly-greater neighbors to
@@ -774,7 +775,7 @@ def star_components(edges, nodes, max_rounds: int = 20):
                 .where(F.col("u") != F.col("v"))
                 .distinct())
 
-    def marker(e) -> tuple:
+    def marker_exprs():
         # Order-independent EXACT edge-set marker: count + two xors of
         # INDEPENDENT per-edge hashes (the seed literal changes the
         # xxhash64 digest entirely). xor alone can spuriously collide on
@@ -783,19 +784,28 @@ def star_components(edges, nodes, max_rounds: int = 20):
         # xors AND the count. xor never overflows, so the marker is safe
         # under ANSI arithmetic at any edge count (the r3 version summed
         # ~1e9-magnitude terms, which overflows BIGINT past ~9.2e9 edges
-        # — ADVICE r3).
-        row = (e.agg(F.count("*").alias("n"),
-                     F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-                     F.expr("bit_xor(xxhash64(u, v, 8191))").alias("h2"))
-               .collect())[0]
-        return (row["n"], row["h"], row["h2"])
+        # — ADVICE r3). Both aggregates are task-order-independent
+        # (count sums, xor commutes), so collecting them as observed
+        # metrics during the materialize action yields the exact tuple
+        # the old standalone marker job computed.
+        return [F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                F.expr("bit_xor(xxhash64(u, v, 8191))").alias("h2")]
 
     prev = None
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        edges = materialize(small_star(large_star(edges)), "star_edges")
-        fp = marker(edges)
+        # The marker rides the materialize action as observed metrics
+        # (CollectMetrics): one job per round where the r7-start form ran
+        # materialize + a separate full-edge-set aggregate scan — at
+        # scale that second read pass per round is the saving.
+        obs = Observation()
+        edges = materialize(
+            small_star(large_star(edges)).observe(obs, *marker_exprs()),
+            "star_edges")
+        m = obs.get
+        fp = (m["n"], m["h"], m["h2"])
         if fp == prev:
             converged = True
             break

@@ -53,3 +53,33 @@ def test_star_contraction_million_edge_graph(spark):
     # local[32] so box throttling can't flake it, while a quadratic
     # regression (hours) still fails loudly.
     assert elapsed < 360, f"star contraction took {elapsed:.0f}s"
+
+
+def test_observed_marker_equals_standalone_aggregate(spark):
+    """The r7 end-of-round fuse moved the convergence marker from a
+    standalone .agg().collect() job onto the round's materialize action
+    as observed metrics (Dataset.observe). Pin the load-bearing
+    equivalence: for the same edge set — including the empty one — the
+    observed (n, h, h2) tuple must equal the direct aggregate, so
+    convergence detection is unchanged."""
+    from pyspark.sql import Observation
+
+    for pred in ("u >= 0", "u < 0"):   # non-empty and empty edge sets
+        edges = (spark.range(97)
+                 .select(F.col("id").alias("u"),
+                         ((F.col("id") * 31) % 17).alias("v"))
+                 .where(pred))
+        direct = (edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.expr("bit_xor(xxhash64(u, v, 8191))").alias("h2"))
+            .collect())[0]
+        obs = Observation()
+        (edges.observe(obs,
+                       F.count(F.lit(1)).alias("n"),
+                       F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                       F.expr("bit_xor(xxhash64(u, v, 8191))").alias("h2"))
+         .localCheckpoint())
+        got = obs.get
+        assert (got["n"], got["h"], got["h2"]) == \
+            (direct["n"], direct["h"], direct["h2"])

@@ -695,14 +695,17 @@ centarr AS (
                        s -> s.cval) AS cvec
   FROM cents GROUP BY c0
 )
-SELECT vec_id, cand AS c FROM (
+SELECT x.vec_id, x.cand AS c, o.c AS old_c
+FROM (
   SELECT q.vec_id, c.c0 AS cand,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
            aggregate(sequence(1, 64), 0L, (acc, i) ->
              acc + (element_at(q.qe, i) - element_at(c.cvec, i))
                  * (element_at(q.qe, i) - element_at(c.cvec, i))), c.c0)
            AS rn
-  FROM ivf_q q CROSS JOIN centarr c) x WHERE rn = 1
+  FROM ivf_q q CROSS JOIN centarr c) x
+JOIN ivf_asg o ON o.vec_id = x.vec_id
+WHERE x.rn = 1
 """
 
 _IVF_PROBE_SPARK = f"""
@@ -754,9 +757,22 @@ def ivf_train(spark: SparkSession, sf_dir: str,
     moved: list[int] = []
     for _ in range(max_rounds):
         asg.createOrReplaceTempView("ivf_asg")
-        new_asg = materialize(spark.sql(_IVF_ROUND_SPARK))
-        n_moved = (new_asg.alias("n").join(asg.alias("o"), "vec_id")
-                   .where(F.col("n.c") != F.col("o.c")).count())
+        # The moved-count rides the round's materialize action as an
+        # observed metric (the round SQL carries the old assignment
+        # through its ivf_asg join) instead of a standalone
+        # new_asg JOIN asg count job — one fewer job and one fewer full
+        # pass over the assignment table per Lloyd round at scale. The
+        # old_c column is dropped before materialization, so the
+        # persisted round output is the same (vec_id, c) table as
+        # before.
+        from pyspark.sql import Observation
+        obs = Observation()
+        new_asg = materialize(
+            spark.sql(_IVF_ROUND_SPARK)
+            .observe(obs, F.sum((F.col("c") != F.col("old_c"))
+                                .cast("long")).alias("moved"))
+            .select("vec_id", "c"))
+        n_moved = int(obs.get["moved"] or 0)
         moved.append(n_moved)
         asg = new_asg
         if n_moved == 0:

@@ -397,3 +397,21 @@ def test_assemble_docs_materializes_blocks_once(spark):
     rows = out.collect()
     assert len(rows) == 7
     assert all(r["n_turns"] >= 42 for r in rows)
+
+
+def test_ivf_observed_moved_matches_join_count(spark, sf_available):
+    """Same r7 fuse applied to ivf_train: the per-round moved-count is
+    an observed metric on the round's materialize instead of a
+    standalone new-vs-old join job. Pin the equivalence for round 1:
+    the observed count must equal an explicit join-count of the round-1
+    assignment against the initial assignment (ivf_q keeps it as c0)."""
+    import pyspark.sql.functions as F
+
+    from pdf_inspector_spark.operators.similarity import ivf_train
+
+    asg1, moved = ivf_train(spark, sf_available, max_rounds=1)
+    recomputed = (asg1.alias("n")
+                  .join(spark.table("ivf_q").select(
+                      "vec_id", F.col("c0").alias("c_init")), "vec_id")
+                  .where(F.col("n.c") != F.col("c_init")).count())
+    assert moved[0] == recomputed and moved[0] > 0, (moved, recomputed)

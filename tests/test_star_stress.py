@@ -83,3 +83,4 @@ def test_observed_marker_equals_standalone_aggregate(spark):
         got = obs.get
         assert (got["n"], got["h"], got["h2"]) == \
             (direct["n"], direct["h"], direct["h2"])
+

@@ -30,7 +30,7 @@ import os
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from .pipeline import run_pipeline, salt_column
 
@@ -81,7 +81,18 @@ def run_with_checkpoint(spark: SparkSession, input_path: str, output_dir: str,
         if fail_after_waves is not None and wave_idx >= fail_after_waves:
             raise RuntimeError(f"injected failure before wave {wave_idx}")
         t0 = time.monotonic()
-        wave_df = df.where(F.col("bucket").isin(wave))
+        # Input-side per-bucket counts ride the write pass as observed
+        # metrics (one conditional count per bucket in the wave — the
+        # wave list is small and known here), keeping their semantics
+        # (rows ENTERING the pipeline, so row loss inside the kernel
+        # stage remains detectable against the landed counts) while
+        # dropping the separate input re-scan per wave. Safe because
+        # run_pipeline is a fused single-branch plan: the observed
+        # node executes exactly once per row.
+        obs = Observation()
+        wave_df = df.where(F.col("bucket").isin(wave)).observe(
+            obs, *[F.sum((F.col("bucket") == b).cast("long"))
+                   .alias(f"b{b}") for b in wave])
         result = run_pipeline(wave_df, with_markdown=with_markdown,
                               salt_buckets=salt_buckets)
         # ONE compute pass lands both sinks: quarantine routing is a
@@ -91,6 +102,8 @@ def run_with_checkpoint(spark: SparkSession, input_path: str, output_dir: str,
          .write.mode("overwrite").partitionBy("quarantined", "bucket")
          .parquet(out_path))
         elapsed = time.monotonic() - t0
+        observed = obs.get
+        in_counts = {b: int(observed[f"b{b}"] or 0) for b in wave}
 
         # lineage rows: per-bucket counts from the landed output
         landed = (spark.read.parquet(out_path)
@@ -99,8 +112,6 @@ def run_with_checkpoint(spark: SparkSession, input_path: str, output_dir: str,
         counts = {(r["bucket"], str(r["quarantined"]).lower() == "true"): r["n"]
                   for r in landed.groupBy("bucket", "quarantined")
                   .agg(F.count("*").alias("n")).collect()}
-        in_counts = {r["bucket"]: r["n"] for r in
-                     wave_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
         out_counts = {b: counts.get((b, False), 0) for b in wave}
         q_counts = {b: counts.get((b, True), 0) for b in wave}
         wave_rows = sum(in_counts.values())

@@ -149,10 +149,19 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
     result = run_pipeline(stream, with_markdown=False)
 
     def write_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         batch_df = batch_df.persist()
         try:
-            n = batch_df.count()
+            # The quarantine count rides the row-count job as an
+            # observed metric (COUNT(error_kind) = non-null rows, the
+            # exact old WHERE isNotNull count) instead of a third full
+            # pass over the cached batch: 3 jobs/batch -> 2, and the
+            # empty-batch early-return still happens before any write.
+            obs = Observation()
+            n = batch_df.observe(
+                obs, SF.count("error_kind").alias("n_q")).count()
             if n == 0:
                 return
             (batch_df
@@ -161,7 +170,7 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
              .write.mode("overwrite")
              .partitionBy("batch_id", "quarantined")
              .parquet(out_path))
-            n_q = batch_df.where(SF.col("error_kind").isNotNull()).count()
+            n_q = int(obs.get["n_q"] or 0)
             elapsed = time.monotonic() - t0
             (spark.createDataFrame(
                 [(run_id, int(batch_id), n, n - n_q, n_q,

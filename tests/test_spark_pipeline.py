@@ -117,6 +117,14 @@ def test_kill_and_resume(spark, tsmall_path, tmp_path):
     per_bucket = lineage.groupBy("bucket").count().collect()
     assert len(per_bucket) == 8
     assert all(r["count"] == 1 for r in per_bucket)
+    # input-side counts (r7: observed metrics on the write pass, not a
+    # separate input scan) must still cover every input row and balance
+    # against the landed output per bucket — the row-loss detector the
+    # input-side semantics exist for.
+    assert lineage.agg(F.sum("rows_in")).collect()[0][0] == len(expected)
+    imbalanced = lineage.where(
+        F.col("rows_in") != F.col("rows_out") + F.col("rows_quarantined"))
+    assert imbalanced.count() == 0, imbalanced.collect()
 
 
 def test_binary_payload_column(spark, tmp_path):

@@ -114,6 +114,20 @@ def run_with_checkpoint(spark: SparkSession, input_path: str, output_dir: str,
                   .agg(F.count("*").alias("n")).collect()}
         out_counts = {b: counts.get((b, False), 0) for b in wave}
         q_counts = {b: counts.get((b, True), 0) for b in wave}
+        # Trust-but-verify: when salt_buckets routes the plan through a
+        # repartition, the metrics node sits in a shuffle-map stage and
+        # a resubmitted map task can double-apply its accumulator
+        # updates (result-stage exactly-once does not cover map stages).
+        # The landed counts come from committed files (exact), so any
+        # per-bucket imbalance — inflation OR real row loss — triggers
+        # one exact input recount, keeping the recorded rows_in exact
+        # and the row-loss detector meaningful. Common path: no extra
+        # job.
+        if any(in_counts.get(b, 0) != out_counts[b] + q_counts[b]
+               for b in wave):
+            in_counts = {r["bucket"]: r["n"] for r in
+                         wave_df.groupBy("bucket")
+                         .agg(F.count("*").alias("n")).collect()}
         wave_rows = sum(in_counts.values())
         total_rows += wave_rows
         tps = wave_rows / elapsed if elapsed > 0 else 0.0

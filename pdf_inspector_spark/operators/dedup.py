@@ -799,7 +799,10 @@ def star_components(edges, nodes, max_rounds: int = 20):
         # The marker rides the materialize action as observed metrics
         # (CollectMetrics): one job per round where the r7-start form ran
         # materialize + a separate full-edge-set aggregate scan — at
-        # scale that second read pass per round is the saving.
+        # scale that second read pass per round is the saving. The
+        # metrics node is top-of-plan (above the distinct's exchange),
+        # so it executes in the result stage, where accumulator updates
+        # are exactly-once even under task retries.
         obs = Observation()
         edges = materialize(
             small_star(large_star(edges)).observe(obs, *marker_exprs()),

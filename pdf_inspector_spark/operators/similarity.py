@@ -742,6 +742,7 @@ def ivf_train(spark: SparkSession, sf_dir: str,
     (vec_id, c) table plus the per-round movement counts (empty tail
     rounds are skipped — the early-stop)."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Observation
 
     load_views(spark, sf_dir)
     q = spark.sql(
@@ -764,8 +765,9 @@ def ivf_train(spark: SparkSession, sf_dir: str,
         # pass over the assignment table per Lloyd round at scale. The
         # old_c column is dropped before materialization, so the
         # persisted round output is the same (vec_id, c) table as
-        # before.
-        from pyspark.sql import Observation
+        # before. The metrics node is top-of-plan (above the round's
+        # last exchange), so it executes in the result stage, where
+        # accumulator updates are exactly-once.
         obs = Observation()
         new_asg = materialize(
             spark.sql(_IVF_ROUND_SPARK)

@@ -139,6 +139,7 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
     import time
 
     import pyspark.sql.functions as SF
+    from pyspark.sql import Observation
 
     from .pipeline import run_pipeline
 
@@ -149,8 +150,6 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
     result = run_pipeline(stream, with_markdown=False)
 
     def write_batch(batch_df, batch_id: int) -> None:
-        from pyspark.sql import Observation
-
         t0 = time.monotonic()
         batch_df = batch_df.persist()
         try:
@@ -161,7 +160,8 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
             # empty-batch early-return still happens before any write.
             obs = Observation()
             n = batch_df.observe(
-                obs, SF.count("error_kind").alias("n_q")).count()
+                obs, SF.count(SF.lit(1)).alias("n"),
+                SF.count("error_kind").alias("n_q")).count()
             if n == 0:
                 return
             (batch_df
@@ -170,7 +170,19 @@ def stream_pipeline_with_lineage(spark: SparkSession, input_dir: str,
              .write.mode("overwrite")
              .partitionBy("batch_id", "quarantined")
              .parquet(out_path))
-            n_q = int(obs.get["n_q"] or 0)
+            # Trust-but-verify: the metrics node sits below count()'s
+            # partial-aggregate stage, and map-stage accumulator updates
+            # can double-apply if a task is resubmitted (result-stage
+            # exactly-once does not cover them). Any such inflation
+            # raises the observed n away from the exactly-once count()
+            # result, so compare and fall back to the exact pass only in
+            # that rare case — the common path stays at 2 jobs/batch.
+            observed = obs.get
+            if int(observed["n"] or 0) == n:
+                n_q = int(observed["n_q"] or 0)
+            else:
+                n_q = batch_df.where(
+                    SF.col("error_kind").isNotNull()).count()
             elapsed = time.monotonic() - t0
             (spark.createDataFrame(
                 [(run_id, int(batch_id), n, n - n_q, n_q,
